@@ -1,0 +1,193 @@
+"""35-mode HEVC intra prediction, evaluated densely for all modes at once.
+
+Reference semantics: getBorder / predict at reference src/HEVCe.c:196-381.
+
+TPU-native formulation: the reference builds a per-mode projected reference
+buffer with data-independent index arithmetic (src/HEVCe.c:350-364). Because
+those indices depend only on (size, mode), we precompute static gather tables
+mapping every predicted pixel of every angular mode to two source positions in
+a concatenated border vector S = [ubla | ublb | ubar | fbla | fblb | fbar]
+plus a 5-bit interpolation weight. All 35 modes then evaluate as two gathers
+and a fused multiply-add over a (batch, 35, sz, sz) tensor — no control flow.
+Planar / DC / pure-H / pure-V rows (modes 0, 1, 10, 26) are closed-form and
+overwrite their rows, including the sz<=16 luma edge filters
+(src/HEVCe.c:302-340).
+"""
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from hevce_tpu.ops import constants as C
+
+
+# ---------------------------------------------------------------------------
+# border construction (reference src/HEVCe.c:196-257)
+# ---------------------------------------------------------------------------
+
+def build_borders(sz: int, corner, left2, top2, bll, blb, baa, bar):
+    """Construct unfiltered + filtered borders.
+
+    corner: (...,) value at rcon[-1][-1]; left2: (..., 2*sz) rcon[i][-1];
+    top2: (..., 2*sz) rcon[-1][i]. Flags are broadcastable booleans.
+    Returns S: (..., 2 + 8*sz) int32 concatenated border vector
+    [ubla(1), ublb(2sz), ubar(2sz), fbla(1), fblb(2sz), fbar(2sz)].
+    """
+    corner = corner.astype(jnp.int32)
+    left2 = left2.astype(jnp.int32)
+    top2 = top2.astype(jnp.int32)
+    bll = jnp.asarray(bll, bool)
+    blb = jnp.asarray(blb, bool)
+    baa = jnp.asarray(baa, bool)
+    bar = jnp.asarray(bar, bool)
+
+    mid = jnp.full_like(corner, 128)
+    ubla = jnp.where(bll & baa, corner,
+                     jnp.where(bll, left2[..., 0],
+                               jnp.where(baa, top2[..., 0], mid)))
+
+    def fill(src2, exist_lo, exist_hi):
+        lo = jnp.where(exist_lo[..., None], src2[..., :sz], ubla[..., None])
+        lo_last = lo[..., sz - 1]
+        hi = jnp.where(exist_hi[..., None], src2[..., sz:], lo_last[..., None])
+        return jnp.concatenate([lo, hi], axis=-1)
+
+    ublb = fill(left2, bll, blb)
+    ubar = fill(top2, baa, bar)
+
+    fbla = (2 + ublb[..., 0] + ubar[..., 0] + 2 * ubla) >> 2
+
+    def smooth(u):
+        f0 = (2 + 2 * u[..., 0] + u[..., 1] + ubla) >> 2
+        mid_ = (2 + 2 * u[..., 1:-1] + u[..., :-2] + u[..., 2:]) >> 2
+        return jnp.concatenate(
+            [f0[..., None], mid_[..., : 2 * sz - 2], u[..., 2 * sz - 1:2 * sz]],
+            axis=-1)
+
+    fblb = smooth(ublb)
+    fbar = smooth(ubar)
+    return jnp.concatenate(
+        [ubla[..., None], ublb, ubar, fbla[..., None], fblb, fbar], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# static gather tables for angular modes
+# ---------------------------------------------------------------------------
+
+def _ref_index(sz, mode, p, base, main_off, side_off):
+    """Map conceptual ref_buff position p to an index in the S vector
+    (reference src/HEVCe.c:350-364)."""
+    if p == 0:
+        return base
+    if p > 0:
+        return main_off + p - 1
+    inv = int(C.ABS_INV_ANGLE_TABLE[mode])
+    j = (128 - inv * p) >> 8
+    assert j >= 1
+    return side_off + j - 1
+
+
+@functools.lru_cache(maxsize=None)
+def _angular_tables(sz: int):
+    """Returns (idx1, idx2, frac, horiz) numpy tables of shape (35, sz, sz),
+    (35, sz, sz), (35, sz, 1), (35,). Rows 0/1 are placeholders."""
+    n = 2 + 8 * sz
+    idx1 = np.zeros((35, sz, sz), np.int32)
+    idx2 = np.zeros((35, sz, sz), np.int32)
+    frac = np.zeros((35, sz, 1), np.int32)
+    horiz = np.zeros(35, bool)
+    for m in range(2, 35):
+        filt = bool(C.FILTER_BORDER_Y[sz][m])
+        base = (1 + 4 * sz) if filt else 0
+        blb_off, bar_off = base + 1, base + 1 + 2 * sz
+        is_h = m < C.PMODE_DEG135
+        horiz[m] = is_h
+        main_off = blb_off if is_h else bar_off
+        side_off = bar_off if is_h else blb_off
+        angle = int(C.ANGLE_TABLE[m])
+        for i in range(sz):
+            off = angle * (i + 1)
+            off_i, off_f = off >> 5, off & 31
+            frac[m, i, 0] = off_f
+            for j in range(sz):
+                idx1[m, i, j] = _ref_index(sz, m, off_i + j + 1, base, main_off, side_off)
+                idx2[m, i, j] = _ref_index(sz, m, off_i + j + 2, base, main_off, side_off)
+    return idx1, idx2, frac, horiz
+
+
+@functools.lru_cache(maxsize=None)
+def _planar_dc_tables(sz: int):
+    filt_planar = bool(C.FILTER_BORDER_Y[sz][0])
+    return filt_planar
+
+
+# ---------------------------------------------------------------------------
+# dense 35-mode prediction
+# ---------------------------------------------------------------------------
+
+def predict_all_modes(sz: int, S: jnp.ndarray) -> jnp.ndarray:
+    """All 35 predicted blocks from border vector S (..., 2+8*sz) int32.
+
+    Returns (..., 35, sz, sz) int32 in [0, 255].
+    """
+    idx1, idx2, frac, horiz = _angular_tables(sz)
+    idx1 = jnp.asarray(idx1)
+    idx2 = jnp.asarray(idx2)
+    frac = jnp.asarray(frac)
+
+    # angular modes (2..34): two static gathers + 5-bit interpolation
+    p1 = jnp.take(S, idx1.reshape(-1), axis=-1).reshape(S.shape[:-1] + (35, sz, sz))
+    p2 = jnp.take(S, idx2.reshape(-1), axis=-1).reshape(S.shape[:-1] + (35, sz, sz))
+    ang = ((32 - frac) * p1 + frac * p2 + 16) >> 5
+    # horizontal modes write transposed (src/HEVCe.c:374-377)
+    hmask = jnp.asarray(horiz)[:, None, None]
+    ang = jnp.where(hmask, jnp.swapaxes(ang, -1, -2), ang)
+
+    # unfiltered / filtered border views
+    ubla = S[..., 0]
+    ublb = S[..., 1:1 + 2 * sz]
+    ubar = S[..., 1 + 2 * sz:1 + 4 * sz]
+    foff = 1 + 4 * sz
+    fblb = S[..., foff + 1:foff + 1 + 2 * sz]
+    fbar = S[..., foff + 1 + 2 * sz:foff + 1 + 4 * sz]
+
+    # planar (mode 0, src/HEVCe.c:293-300); filtered borders for sz >= 8
+    pblb, pbar = (fblb, fbar) if C.FILTER_BORDER_Y[sz][0] else (ublb, ubar)
+    jj = jnp.arange(sz, dtype=jnp.int32)
+    ii = jj[:, None]
+    # hor_pred[i][j] = (sz-j-1)*blb[i] + (j+1)*bar[sz]   (src/HEVCe.c:296)
+    hor_pred = (sz - jj - 1)[None, :] * pblb[..., :sz][..., :, None] \
+        + (jj + 1)[None, :] * pbar[..., sz][..., None, None]
+    # ver_pred[i][j] = (sz-i-1)*bar[j] + (i+1)*blb[sz]   (src/HEVCe.c:297)
+    ver_pred = (sz - ii - 1) * pbar[..., :sz][..., None, :] \
+        + (ii + 1) * pblb[..., sz][..., None, None]
+    planar = (sz + hor_pred + ver_pred) // (sz * 2)
+
+    # DC (mode 1, src/HEVCe.c:302-318); always unfiltered borders
+    dc = (sz + ublb[..., :sz].sum(-1) + ubar[..., :sz].sum(-1)) // (2 * sz)
+    dcb = jnp.broadcast_to(dc[..., None, None], dc.shape + (sz, sz))
+    if sz <= 16:  # luma edge filter
+        top = (2 + 3 * dc[..., None] + ubar[..., :sz]) >> 2
+        left = (2 + 3 * dc[..., None] + ublb[..., :sz]) >> 2
+        corner = (2 + 2 * dc + ublb[..., 0] + ubar[..., 0]) >> 2
+        dcb = dcb.at[..., 0, :].set(top)
+        dcb = dcb.at[..., :, 0].set(left)
+        dcb = dcb.at[..., 0, 0].set(corner)
+
+    # pure horizontal (10) / vertical (26) with sz<=16 edge bias (src/HEVCe.c:320-340)
+    horb = jnp.broadcast_to(ublb[..., :sz, None], ublb.shape[:-1] + (sz, sz))
+    verb = jnp.broadcast_to(ubar[..., None, :sz], ubar.shape[:-1] + (sz, sz))
+    if sz <= 16:
+        bias_t = (ubar[..., :sz] - ubla[..., None]) >> 1
+        horb = horb.at[..., 0, :].set(
+            jnp.clip(bias_t + horb[..., 0, :], 0, 255))
+        bias_l = (ublb[..., :sz] - ubla[..., None]) >> 1
+        verb = verb.at[..., :, 0].set(
+            jnp.clip(bias_l + verb[..., :, 0], 0, 255))
+
+    out = ang
+    out = out.at[..., 0, :, :].set(planar)
+    out = out.at[..., 1, :, :].set(dcb)
+    out = out.at[..., C.PMODE_HOR, :, :].set(horb)
+    out = out.at[..., C.PMODE_VER, :, :].set(verb)
+    return out

@@ -1,0 +1,22 @@
+"""Test configuration: force CPU JAX with 8 virtual devices so sharding tests
+run without TPU hardware. Must run before jax is imported anywhere."""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import numpy as np
+import pytest
+
+DATA = pathlib.Path(__file__).parent / "data"
+
+
+@pytest.fixture(scope="session")
+def golden():
+    def load(name):
+        return np.load(DATA / f"golden_{name}.npz")
+    return load
