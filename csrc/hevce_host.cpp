@@ -1,0 +1,1226 @@
+// hevce_host — native host engine for the TPU-native HEVC intra encoder.
+//
+// Owns everything sequential: CABAC arithmetic coder + context models, HEVC
+// syntax serialization, and the RD arbiter that walks the CU quadtree with
+// speculative trial encodes. Behavioral contract matches the reference
+// encoder (reference src/HEVCe.c:621-1340 entropy layer, :1346-1560 search,
+// :1566-1647 top loop) and this repo's validated Python implementation
+// (hevce_tpu/bitstream/*, hevce_tpu/models/encoder.py).
+//
+// Engineering differences from the reference (outputs stay bit-identical):
+//  * trial encodes append to a shared byte arena and roll back by truncation
+//    instead of copying a multi-KB coder struct per trial;
+//  * candidates whose saturated distortion-only cost already exceeds the
+//    incumbent best are pruned before their trial encode (cost >= w_dist*SSE
+//    and ties commit the later candidate, so such candidates provably lose);
+//  * next-state tables and scan orders are generated at startup, not embedded.
+//
+// Build: tools/build_native.py -> hevce_tpu/runtime/libhevce_host.so
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace hevce {
+
+using u8 = uint8_t;
+using i32 = int32_t;
+using i64 = int64_t;
+
+static constexpr i32 I32_MAX = 0x7fffffff;
+static constexpr i32 CTU = 32;
+static constexpr i32 MIN_CU = 8;
+static constexpr i32 MODES = 35;
+static constexpr i32 NUM_CTX = 142;
+
+static inline i32 iclip(i32 v, i32 lo, i32 hi) { return v < lo ? lo : (v > hi ? hi : v); }
+static inline u8 pixclip(i32 v) { return (u8)iclip(v, 0, 255); }
+static inline i32 coefclip(i32 v) { return iclip(v, -32768, 32767); }
+
+// ---------------------------------------------------------------------------
+// CABAC state machine tables (standard H.265 data; next-state generated)
+// ---------------------------------------------------------------------------
+
+static const u8 kTransLps[64] = {
+    0, 0, 1, 2, 2, 4, 4, 5, 6, 7, 8, 9, 9, 11, 11, 12,
+    13, 13, 15, 15, 16, 16, 18, 18, 19, 19, 21, 21, 22, 22, 23, 24,
+    24, 25, 26, 26, 27, 27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33,
+    33, 33, 34, 34, 35, 35, 35, 36, 36, 36, 37, 37, 37, 38, 38, 63};
+
+static const u8 kLpsTable[64][4] = {
+    {128, 176, 208, 240}, {128, 167, 197, 227}, {128, 158, 187, 216}, {123, 150, 178, 205},
+    {116, 142, 169, 195}, {111, 135, 160, 185}, {105, 128, 152, 175}, {100, 122, 144, 166},
+    {95, 116, 137, 158}, {90, 110, 130, 150}, {85, 104, 123, 142}, {81, 99, 117, 135},
+    {77, 94, 111, 128}, {73, 89, 105, 122}, {69, 85, 100, 116}, {66, 80, 95, 110},
+    {62, 76, 90, 104}, {59, 72, 86, 99}, {56, 69, 81, 94}, {53, 65, 77, 89},
+    {51, 62, 73, 85}, {48, 59, 69, 80}, {46, 56, 66, 76}, {43, 53, 63, 72},
+    {41, 50, 59, 69}, {39, 48, 56, 65}, {37, 45, 54, 62}, {35, 43, 51, 59},
+    {33, 41, 48, 56}, {32, 39, 46, 53}, {30, 37, 43, 50}, {29, 35, 41, 48},
+    {27, 33, 39, 45}, {26, 31, 37, 43}, {24, 30, 35, 41}, {23, 28, 33, 39},
+    {22, 27, 32, 37}, {21, 26, 30, 35}, {20, 24, 29, 33}, {19, 23, 27, 31},
+    {18, 22, 26, 30}, {17, 21, 25, 28}, {16, 20, 23, 27}, {15, 19, 22, 25},
+    {14, 18, 21, 24}, {14, 17, 20, 23}, {13, 16, 19, 22}, {12, 15, 18, 21},
+    {12, 14, 17, 20}, {11, 14, 16, 19}, {11, 13, 15, 18}, {10, 12, 15, 17},
+    {10, 12, 14, 16}, {9, 11, 13, 15}, {9, 11, 12, 14}, {8, 10, 12, 14},
+    {8, 9, 11, 13}, {7, 9, 11, 12}, {7, 9, 10, 12}, {7, 8, 10, 11},
+    {6, 8, 9, 11}, {6, 7, 9, 10}, {6, 7, 8, 9}, {2, 2, 2, 2}};
+
+struct Tables {
+    u8 next_mps[128];
+    u8 next_lps[128];
+    u8 renorm[32];
+    Tables() {
+        for (int v = 0; v < 128; v++) {
+            int s = v >> 1, m = v & 1;
+            next_mps[v] = (s == 63) ? v : 2 * (s + 1 > 62 ? 62 : s + 1) + m;
+            next_lps[v] = (s == 0) ? (1 - m) : 2 * kTransLps[s] + m;
+        }
+        next_mps[126] = 126; next_mps[127] = 127;
+        next_lps[126] = 126; next_lps[127] = 127;
+        renorm[0] = 6;
+        for (int i = 1; i < 32; i++) {
+            int b = 0;
+            while ((1 << (b + 1)) <= i) b++;
+            renorm[i] = 5 - b;
+        }
+    }
+};
+static const Tables T;
+
+// context-vector layout (flat offsets; same grouping as the Python engine)
+enum : int {
+    CTX_SPLIT_CU = 0, CTX_PARTSIZE = 3, CTX_Y_PMODE = 4, CTX_UV_PMODE = 5,
+    CTX_SPLIT_TU = 6, CTX_Y_QT_CBF = 9, CTX_UV_QT_CBF = 11, CTX_LAST_X = 16,
+    CTX_LAST_Y = 41, CTX_SIG_MAP = 66, CTX_SIG_SC = 68, CTX_ONE_SC = 112,
+    CTX_ABS_SC = 136,
+};
+
+static const u8 kCtxInit[NUM_CTX] = {
+    139, 141, 157, 184, 184, 63, 153, 138, 138, 111, 141,
+    94, 138, 182, 154, 154,
+    // last_x rows (5x5, zero-padded rows)
+    110, 110, 124, 0, 0, 125, 140, 153, 0, 0, 125, 127, 140, 109, 0,
+    111, 143, 127, 111, 79, 108, 123, 63, 154, 0,
+    // last_y
+    110, 110, 124, 0, 0, 125, 140, 153, 0, 0, 125, 127, 140, 109, 0,
+    111, 143, 127, 111, 79, 108, 123, 63, 154, 0,
+    // sig_map
+    91, 171,
+    // sig_sc[44]
+    111, 111, 125, 110, 110, 94, 124, 108, 124, 107, 125, 141, 179, 153,
+    125, 107, 125, 141, 179, 153, 125, 107, 125, 141, 179, 153, 125, 141,
+    140, 139, 182, 182, 152, 136, 152, 136, 153, 136, 139, 111, 136, 139,
+    111, 111,
+    // one_sc[24]
+    140, 92, 137, 138, 140, 152, 138, 139, 153, 74, 149, 92, 139, 107,
+    122, 152, 140, 179, 166, 182, 140, 227, 122, 197,
+    // abs_sc[6]
+    138, 153, 136, 167, 152, 152};
+
+struct CtxSet {
+    u8 v[NUM_CTX];
+    void init(i32 qpd6) {
+        i32 qp = qpd6 * 6 + 4;
+        for (int i = 0; i < NUM_CTX; i++) {
+            i32 iv = kCtxInit[i];
+            i32 st = ((((iv >> 4) * 5 - 45) * qp) >> 4) + ((iv & 15) << 3) - 16;
+            st = iclip(st, 1, 126);
+            v[i] = (st >= 64) ? (u8)(((st - 64) << 1) | 1) : (u8)((63 - st) << 1);
+        }
+    }
+};
+
+// ---------------------------------------------------------------------------
+// arithmetic coder: POD state over a shared append-only byte arena
+// ---------------------------------------------------------------------------
+
+struct CabacEnc {
+    i32 range = 510;
+    i32 low = 0;
+    i32 nbits = 23;
+    i32 outstanding = 0;
+    i32 bufbyte = 0xFF;
+    i32 zrun = 0;
+    i64 nbytes = 0;                 // total bytes logically emitted (for bit_len)
+    std::vector<u8>* arena = nullptr;
+
+    void emit(i32 byte) {
+        byte &= 0xFF;
+        if (zrun >= 2 && byte <= 0x03) {
+            arena->push_back(0x03);
+            nbytes++;
+            zrun = 0;
+        }
+        arena->push_back((u8)byte);
+        nbytes++;
+        zrun = (byte == 0) ? zrun + 1 : 0;
+    }
+
+    void refill() {
+        if (nbits >= 12) return;
+        i32 lead = (i32)((uint32_t)low >> (24 - nbits));
+        nbits += 8;
+        low &= (i32)(0xFFFFFFFFu >> nbits);
+        if (lead == 0xFF) {
+            outstanding++;
+        } else if (outstanding > 0) {
+            i32 carry = lead >> 8;
+            emit(bufbyte + carry);
+            bufbyte = lead & 0xFF;
+            i32 fill = (0xFF + carry) & 0xFF;
+            for (i32 k = 0; k < outstanding - 1; k++) emit(fill);
+            outstanding = 1;
+        } else {
+            outstanding = 1;
+            bufbyte = lead;
+        }
+    }
+
+    void bin(u8* ctx, i32 b) {
+        u8 v = *ctx;
+        i32 lps = kLpsTable[v >> 1][(range >> 6) & 3];
+        range -= lps;
+        if (b != (v & 1)) {
+            i32 nb = T.renorm[lps >> 3];
+            *ctx = T.next_lps[v];
+            low = (low + range) << nb;
+            range = lps << nb;
+            nbits -= nb;
+        } else {
+            *ctx = T.next_mps[v];
+            if (range < 256) { low <<= 1; range <<= 1; nbits--; }
+        }
+        refill();
+    }
+
+    void bypass(i32 bins, i32 len) {
+        bins &= (1 << len) - 1;
+        while (len > 0) {
+            i32 cur = len < 8 ? len : 8;
+            len -= cur;
+            i32 chunk = (bins >> len) & ((1 << cur) - 1);
+            low = (low << cur) + range * chunk;
+            nbits -= cur;
+            refill();
+        }
+    }
+
+    void terminate(i32 b) {
+        range -= 2;
+        if (b) {
+            low = (low + range) << 7;
+            range = 2 << 7;
+            nbits -= 7;
+        } else if (range < 256) {
+            low <<= 1; range <<= 1; nbits--;
+        }
+        refill();
+    }
+
+    i64 bit_len() const { return 8 * (nbytes + outstanding) + 23 - nbits; }
+
+    void finish() {
+        i32 fill;
+        if (((uint32_t)low >> (32 - nbits)) > 0) {
+            emit(bufbyte + 1);
+            low -= (i32)(1u << (32 - nbits));
+            fill = 0x00;
+        } else {
+            if (outstanding > 0) emit(bufbyte);
+            fill = 0xFF;
+        }
+        for (i32 k = 0; k < outstanding - 1; k++) emit(fill);
+        outstanding = 0;
+        i32 tail = (i32)(((uint32_t)(low >> 8)) << nbits);
+        emit(tail >> 16);
+        emit(tail >> 8);
+        emit(tail);
+    }
+};
+
+// ---------------------------------------------------------------------------
+// scan orders (generated)
+// ---------------------------------------------------------------------------
+
+enum { SCAN_DIAG = 0, SCAN_HOR = 1, SCAN_VER = 2 };
+
+struct Scans {
+    // scan[sz_idx][type][i] = y*sz + x  (sz_idx: 0..3 for 4/8/16/32)
+    std::vector<uint16_t> tab[4][3];
+    Scans() {
+        for (int si = 0; si < 4; si++) {
+            int sz = 4 << si, ncg = sz / 4;
+            for (int ty = 0; ty < 3; ty++) {
+                if (ty != SCAN_DIAG && sz > 8) continue;
+                std::vector<std::pair<int, int>> cg, in;
+                auto diag = [](int n) {
+                    std::vector<std::pair<int, int>> o;
+                    for (int d = 0; d < 2 * n - 1; d++)
+                        for (int y = (d < n ? d : n - 1); y >= 0; y--) {
+                            int x = d - y;
+                            if (x < n) o.push_back({y, x});
+                        }
+                    return o;
+                };
+                if (ty == SCAN_DIAG) { cg = diag(ncg); in = diag(4); }
+                else if (ty == SCAN_HOR) {
+                    for (int y = 0; y < ncg; y++) for (int x = 0; x < ncg; x++) cg.push_back({y, x});
+                    for (int y = 0; y < 4; y++) for (int x = 0; x < 4; x++) in.push_back({y, x});
+                } else {
+                    for (int x = 0; x < ncg; x++) for (int y = 0; y < ncg; y++) cg.push_back({y, x});
+                    for (int x = 0; x < 4; x++) for (int y = 0; y < 4; y++) in.push_back({y, x});
+                }
+                auto& t = tab[si][ty];
+                for (auto& c : cg)
+                    for (auto& p : in)
+                        t.push_back((uint16_t)((c.first * 4 + p.first) * sz + c.second * 4 + p.second));
+            }
+        }
+    }
+};
+static const Scans SC;
+
+static inline int scan_select(int sz, int pmode, const uint16_t** scan) {
+    int si = sz == 4 ? 0 : sz == 8 ? 1 : sz == 16 ? 2 : 3;
+    if (sz <= 8) {
+        int dv = pmode - 26; if (dv < 0) dv = -dv;
+        int dh = pmode - 10; if (dh < 0) dh = -dh;
+        if (dv <= 4) { *scan = SC.tab[si][SCAN_HOR].data(); return SCAN_HOR; }
+        if (dh <= 4) { *scan = SC.tab[si][SCAN_VER].data(); return SCAN_VER; }
+    }
+    *scan = SC.tab[si][SCAN_DIAG].data();
+    return SCAN_DIAG;
+}
+
+// ---------------------------------------------------------------------------
+// syntax writers
+// ---------------------------------------------------------------------------
+
+static const u8 kGroupIdx[32] = {0, 1, 2, 3, 4, 4, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7,
+                                 8, 8, 8, 8, 8, 8, 8, 8, 9, 9, 9, 9, 9, 9, 9, 9};
+static const u8 kMinInGroup[10] = {0, 1, 2, 3, 4, 6, 8, 12, 16, 24};
+static const u8 kLastAddr[2][5] = {{0, 1, 2, 0, 3}, {4, 4, 4, 0, 4}};
+static const u8 kLastSft[2][5] = {{0, 1, 1, 0, 1}, {0, 1, 2, 0, 3}};
+static const u8 kSig4[4][4] = {{0, 1, 4, 5}, {2, 3, 4, 5}, {6, 6, 8, 8}, {7, 7, 8, 8}};
+static const u8 kSigPos[7] = {2, 1, 1, 0, 0, 0, 0};
+
+static inline void put_split_cu(CabacEnc& e, CtxSet& c, i32 sz, i32 split, i32 gl, i32 ga) {
+    if (sz >= 16) e.bin(&c.v[CTX_SPLIT_CU + (gl ? 1 : 0) + (ga ? 1 : 0)], split);
+}
+
+static inline void put_part_size(CabacEnc& e, CtxSet& c, i32 sz, i32 nxn) {
+    if (sz == 8) e.bin(&c.v[CTX_PARTSIZE], nxn ? 0 : 1);
+}
+
+static void probable_modes(i32 left, i32 above, i32 out[3]) {
+    if (left != above) {
+        out[0] = left; out[1] = above;
+        if (left != 0 && above != 0) out[2] = 0;
+        else if (left + above < 2) out[2] = 26;
+        else out[2] = 1;
+    } else if (left > 1) {
+        out[0] = left;
+        out[1] = ((left + 29) % 32) + 2;
+        out[2] = ((left - 1) % 32) + 2;
+    } else {
+        out[0] = 0; out[1] = 1; out[2] = 26;
+    }
+}
+
+static void put_y_pmode(CabacEnc& e, CtxSet& c, int n, const i32* pm, const i32* pl, const i32* pa) {
+    i32 mpm[4][3], hit[4];
+    for (int i = 0; i < n; i++) {
+        probable_modes(pl[i], pa[i], mpm[i]);
+        hit[i] = -1;
+        for (int j = 0; j < 3; j++)
+            if (mpm[i][j] == pm[i]) hit[i] = j;
+        e.bin(&c.v[CTX_Y_PMODE], hit[i] >= 0);
+    }
+    for (int i = 0; i < n; i++) {
+        if (hit[i] >= 0) {
+            e.bypass(hit[i] > 0, 1);
+            if (hit[i] > 0) e.bypass(hit[i] - 1, 1);
+        } else {
+            i32 rem = pm[i];
+            for (int j = 0; j < 3; j++)
+                if (pm[i] > mpm[i][j]) rem--;
+            e.bypass(rem, 5);
+        }
+    }
+}
+
+static inline void put_uv_pmode(CabacEnc& e, CtxSet& c) { e.bin(&c.v[CTX_UV_PMODE], 0); }
+
+static inline void put_split_tu(CabacEnc& e, CtxSet& c, i32 sz, i32 split) {
+    if (sz == 32) e.bin(&c.v[CTX_SPLIT_TU + 0], split);
+    else if (sz == 16) e.bin(&c.v[CTX_SPLIT_TU + 1], split);
+    else if (sz == 8) e.bin(&c.v[CTX_SPLIT_TU + 2], split);
+}
+
+static inline void put_qt_cbf(CabacEnc& e, CtxSet& c, i32 depth, bool chroma, i32 cbf) {
+    if (chroma) e.bin(&c.v[CTX_UV_QT_CBF + depth], cbf);
+    else e.bin(&c.v[CTX_Y_QT_CBF + (depth ? 0 : 1)], cbf);
+}
+
+static void put_last_xy(CabacEnc& e, CtxSet& c, i32 sz, bool chroma, int stype, i32 y, i32 x) {
+    int szi = sz / 8;
+    i32 addr = kLastAddr[chroma][szi], sft = kLastSft[chroma][szi];
+    i32 ty = (stype == SCAN_VER) ? x : y;
+    i32 tx = (stype == SCAN_VER) ? y : x;
+    i32 gy = kGroupIdx[ty], gx = kGroupIdx[tx], gmax = kGroupIdx[sz - 1];
+    for (i32 i = 0; i < gx; i++) e.bin(&c.v[CTX_LAST_X + 5 * addr + (i >> sft)], 1);
+    if (gx < gmax) e.bin(&c.v[CTX_LAST_X + 5 * addr + (gx >> sft)], 0);
+    for (i32 i = 0; i < gy; i++) e.bin(&c.v[CTX_LAST_Y + 5 * addr + (i >> sft)], 1);
+    if (gy < gmax) e.bin(&c.v[CTX_LAST_Y + 5 * addr + (gy >> sft)], 0);
+    if (gx > 3) {
+        tx -= kMinInGroup[gx];
+        for (i32 i = ((gx - 2) >> 1) - 1; i >= 0; i--) e.bypass((tx >> i) & 1, 1);
+    }
+    if (gy > 3) {
+        ty -= kMinInGroup[gy];
+        for (i32 i = ((gy - 2) >> 1) - 1; i >= 0; i--) e.bypass((ty >> i) & 1, 1);
+    }
+}
+
+static inline i32 sig_ctx_idx(i32 sz, bool chroma, int stype, i32 y, i32 x, i32 sctx) {
+    i32 base = chroma ? 28 : 0;
+    if (y == 0 && x == 0) return base;
+    if (sz == 4) return base + kSig4[y][x];
+    base += 9;
+    if (!chroma) {
+        if (sz >= 16) base += 12;
+        if (sz == 8 && stype != SCAN_DIAG) base += 6;
+        if ((y >> 2) || (x >> 2)) base += 3;
+    } else if (sz >= 16) base += 3;
+    switch (sctx) {
+        case 0: return base + kSigPos[(y & 3) + (x & 3)];
+        case 1: return base + kSigPos[(y & 3) << 1];
+        case 2: return base + kSigPos[(x & 3) << 1];
+        default: return base + 2;
+    }
+}
+
+static void put_exgolomb(CabacEnc& e, i32 value, i32 rparam) {
+    if (value < (3 << rparam)) {
+        i32 len = value >> rparam;
+        e.bypass((1 << (len + 1)) - 2, len + 1);
+        e.bypass(value % (1 << rparam), rparam);
+    } else {
+        i32 len = rparam;
+        value -= 3 << rparam;
+        while (value >= (1 << len)) { value -= 1 << len; len++; }
+        i32 pre = 4 + len - rparam;
+        e.bypass((1 << pre) - 2, pre);
+        e.bypass(value, len);
+    }
+}
+
+// full residual coding of a quantized TU; blk has stride = sz
+static void put_coef(CabacEnc& e, CtxSet& c, i32 sz, bool chroma, i32 pmode, const i32* blk) {
+    const uint16_t* scan;
+    int stype = scan_select(sz, pmode, &scan);
+    i32 ncg = sz / 4;
+
+    bool sig_map[8][8] = {};
+    i32 i_last = 0;
+    for (i32 i = 0; i < sz * sz; i++) {
+        i32 p = scan[i];
+        if (blk[p] != 0) {
+            sig_map[(p / sz) >> 2][(p % sz) >> 2] = true;
+            i_last = i;
+        }
+    }
+    put_last_xy(e, c, sz, chroma, stype, scan[i_last] / sz, scan[i_last] % sz);
+
+    i32 sctx = 0, c1 = 1, nnz = 0, signs = 0;
+    i32 abs_nz[16];
+    for (i32 i = i_last; i >= 0; i--) {
+        i32 p = scan[i];
+        i32 y = p / sz, x = p % sz;
+        i32 ycg = y >> 2, xcg = x >> 2;
+        bool sig_cg = sig_map[ycg][xcg];
+        i32 v = blk[p];
+        bool is_final = (i == i_last);
+        bool first_cg = (ycg == 0 && xcg == 0);
+        bool first_in_cg = (i & 15) == 0;
+        bool final_in_cg = ((i & 15) == 15) || is_final;
+
+        if (final_in_cg) {
+            bool right = xcg < ncg - 1 && sig_map[ycg][xcg + 1];
+            bool below = ycg < ncg - 1 && sig_map[ycg + 1][xcg];
+            sctx = ((i32)below << 1) | (i32)right;
+            nnz = 0;
+            signs = 0;
+            if (!first_cg && !is_final)
+                e.bin(&c.v[CTX_SIG_MAP + (sctx != 0)], sig_cg);
+        }
+        if (!is_final && (first_cg || (sig_cg && (!first_in_cg || nnz > 0)))) {
+            i32 idx = sig_ctx_idx(sz, chroma, stype, y, x, sctx);
+            e.bin(&c.v[CTX_SIG_SC + idx], v != 0);
+        }
+        if (v != 0) {
+            abs_nz[nnz++] = v < 0 ? -v : v;
+            signs = (signs << 1) | (v < 0 ? 1 : 0);
+        }
+        if (first_in_cg && nnz > 0) {
+            i32 cset = (chroma ? 4 : 0) + ((!chroma && !first_cg) ? 2 : 0) + (c1 == 0 ? 1 : 0);
+            bool escape = nnz > 8;
+            i32 c2 = -1;
+            c1 = 1;
+            for (i32 j = 0; j < 8 && j < nnz; j++) {
+                e.bin(&c.v[CTX_ONE_SC + 4 * cset + c1], abs_nz[j] > 1);
+                if (abs_nz[j] > 1) {
+                    c1 = 0;
+                    if (c2 < 0) c2 = abs_nz[j] > 2;
+                    else escape = true;
+                } else if (c1 > 0 && c1 < 3) c1++;
+            }
+            if (c1 == 0 && c2 >= 0) {
+                e.bin(&c.v[CTX_ABS_SC + cset], c2);
+                escape = escape || c2;
+            }
+            e.bypass(signs, nnz);
+            if (escape) {
+                i32 fc2 = 3, rparam = 0;
+                for (i32 j = 0; j < nnz; j++) {
+                    i32 esc = abs_nz[j] - (j < 8 ? fc2 : 1);
+                    if (esc >= 0) {
+                        put_exgolomb(e, esc, rparam);
+                        if (abs_nz[j] > (3 << rparam)) rparam = rparam < 4 ? rparam + 1 : 4;
+                    }
+                    if (abs_nz[j] >= 2) fc2 = 2;
+                }
+            }
+        }
+    }
+}
+
+static inline bool block_nonzero(const i32* blk, i32 n) {
+    for (i32 i = 0; i < n; i++)
+        if (blk[i]) return true;
+    return false;
+}
+
+// CU serializers; blk/sub stride == their own size
+static void put_cu_2nx2n(CabacEnc& e, CtxSet& c, i32 sz, i32 pm, i32 pl, i32 pa, const i32* blk) {
+    i32 cbf = block_nonzero(blk, sz * sz);
+    put_part_size(e, c, sz, 0);
+    put_y_pmode(e, c, 1, &pm, &pl, &pa);
+    put_uv_pmode(e, c);
+    put_split_tu(e, c, sz, 0);
+    put_qt_cbf(e, c, 0, true, 0);
+    put_qt_cbf(e, c, 0, true, 0);
+    put_qt_cbf(e, c, 0, false, cbf);
+    if (cbf) put_coef(e, c, sz, false, pm, blk);
+}
+
+static void put_cu_tusplit(CabacEnc& e, CtxSet& c, i32 sz, i32 pm, i32 pl, i32 pa,
+                           const i32* sub[4]) {
+    i32 h = sz / 2;
+    put_part_size(e, c, sz, 0);
+    put_y_pmode(e, c, 1, &pm, &pl, &pa);
+    put_uv_pmode(e, c);
+    put_split_tu(e, c, sz, 1);
+    put_qt_cbf(e, c, 0, true, 0);
+    put_qt_cbf(e, c, 0, true, 0);
+    for (int k = 0; k < 4; k++) {
+        i32 cbf = block_nonzero(sub[k], h * h);
+        put_qt_cbf(e, c, 1, false, cbf);
+        if (cbf) put_coef(e, c, h, false, pm, sub[k]);
+    }
+}
+
+static void put_cu_nxn(CabacEnc& e, CtxSet& c, i32 sz, const i32* pms, const i32* pls,
+                       const i32* pas, const i32* sub[4]) {
+    i32 h = sz / 2;
+    put_part_size(e, c, sz, 1);
+    put_y_pmode(e, c, 4, pms, pls, pas);
+    put_uv_pmode(e, c);
+    put_qt_cbf(e, c, 0, true, 0);
+    put_qt_cbf(e, c, 0, true, 0);
+    for (int k = 0; k < 4; k++) {
+        i32 cbf = block_nonzero(sub[k], h * h);
+        put_qt_cbf(e, c, 1, false, cbf);
+        if (cbf) put_coef(e, c, h, false, pms[k], sub[k]);
+    }
+}
+
+// ---------------------------------------------------------------------------
+// numeric math: borders, 35-mode prediction, transforms, RDOQ
+// (host fallback path; the TPU device engine computes the same quantities
+//  densely — see hevce_tpu/ops/*. Semantics: reference src/HEVCe.c:191-615)
+// ---------------------------------------------------------------------------
+
+static const i32 kAngle[MODES] = {0, 0, 32, 26, 21, 17, 13, 9, 5, 2, 0, -2, -5, -9,
+                                  -13, -17, -21, -26, -32, -26, -21, -17, -13, -9, -5,
+                                  -2, 0, 2, 5, 9, 13, 17, 21, 26, 32};
+static const i32 kInvAngle[MODES] = {0, 0, 256, 315, 390, 482, 630, 910, 1638, 4096, 0,
+                                     4096, 1638, 910, 630, 482, 390, 315, 256, 315, 390,
+                                     482, 630, 910, 1638, 4096, 0, 4096, 1638, 910, 630,
+                                     482, 390, 315, 256};
+
+// whether the smoothed border feeds luma prediction, by (log2(sz)-2, mode)
+struct FilterFlags {
+    u8 f[4][MODES];
+    FilterFlags() {
+        std::memset(f, 0, sizeof f);
+        for (int m : {0, 2, 18, 34}) f[1][m] = 1;
+        for (int m = 0; m < MODES; m++) f[2][m] = 1;
+        for (int m : {1, 9, 10, 11, 25, 26, 27}) f[2][m] = 0;
+        for (int m = 0; m < MODES; m++) f[3][m] = 1;
+        for (int m : {1, 10, 26}) f[3][m] = 0;
+    }
+};
+static const FilterFlags FF;
+
+struct Borders {
+    u8 ubla, fbla;
+    u8 ublb[64], ubar[64], fblb[64], fbar[64];
+};
+
+// ctx_top: 1+2sz values (corner + row above), ctx_left: 2sz values
+static void build_borders(i32 sz, const i32* ctx_top, const i32* ctx_left,
+                          bool bll, bool blb, bool baa, bool bar, Borders& B) {
+    i32 n2 = sz * 2;
+    B.ubla = (u8)(bll && baa ? ctx_top[0] : bll ? ctx_left[0] : baa ? ctx_top[1] : 128);
+    for (i32 i = 0; i < sz; i++) B.ublb[i] = bll ? (u8)ctx_left[i] : B.ubla;
+    for (i32 i = sz; i < n2; i++) B.ublb[i] = blb ? (u8)ctx_left[i] : B.ublb[sz - 1];
+    for (i32 i = 0; i < sz; i++) B.ubar[i] = baa ? (u8)ctx_top[1 + i] : B.ubla;
+    for (i32 i = sz; i < n2; i++) B.ubar[i] = bar ? (u8)ctx_top[1 + i] : B.ubar[sz - 1];
+    B.fbla = (u8)((2 + B.ublb[0] + B.ubar[0] + 2 * B.ubla) >> 2);
+    B.fblb[0] = (u8)((2 + 2 * B.ublb[0] + B.ublb[1] + B.ubla) >> 2);
+    B.fbar[0] = (u8)((2 + 2 * B.ubar[0] + B.ubar[1] + B.ubla) >> 2);
+    for (i32 i = 1; i < n2 - 1; i++) {
+        B.fblb[i] = (u8)((2 + 2 * B.ublb[i] + B.ublb[i - 1] + B.ublb[i + 1]) >> 2);
+        B.fbar[i] = (u8)((2 + 2 * B.ubar[i] + B.ubar[i - 1] + B.ubar[i + 1]) >> 2);
+    }
+    B.fblb[n2 - 1] = B.ublb[n2 - 1];
+    B.fbar[n2 - 1] = B.ubar[n2 - 1];
+}
+
+// predicted block for one mode; dst stride == sz (luma only)
+static void predict(i32 sz, i32 pmode, const Borders& B, u8* dst) {
+    int szi = sz == 4 ? 0 : sz == 8 ? 1 : sz == 16 ? 2 : 3;
+    bool edge = sz <= 16;
+    bool filt = FF.f[szi][pmode];
+    u8 bla = filt ? B.fbla : B.ubla;
+    const u8* blb = filt ? B.fblb : B.ublb;
+    const u8* bar = filt ? B.fbar : B.ubar;
+
+    if (pmode == 0) {  // planar
+        for (i32 i = 0; i < sz; i++)
+            for (i32 j = 0; j < sz; j++) {
+                i32 hp = (sz - j - 1) * blb[i] + (j + 1) * bar[sz];
+                i32 vp = (sz - i - 1) * bar[j] + (i + 1) * blb[sz];
+                dst[i * sz + j] = (u8)((sz + hp + vp) / (sz * 2));
+            }
+    } else if (pmode == 1) {  // DC
+        i32 dc = sz;
+        for (i32 i = 0; i < sz; i++) dc += blb[i] + bar[i];
+        dc /= sz * 2;
+        for (i32 i = 0; i < sz * sz; i++) dst[i] = (u8)dc;
+        if (edge) {
+            dst[0] = (u8)((2 + 2 * dc + blb[0] + bar[0]) >> 2);
+            for (i32 i = 1; i < sz; i++) {
+                dst[i] = (u8)((2 + 3 * dc + bar[i]) >> 2);
+                dst[i * sz] = (u8)((2 + 3 * dc + blb[i]) >> 2);
+            }
+        }
+    } else if (pmode == 10) {  // pure horizontal
+        for (i32 i = 0; i < sz; i++)
+            for (i32 j = 0; j < sz; j++) dst[i * sz + j] = blb[i];
+        if (edge)
+            for (i32 j = 0; j < sz; j++)
+                dst[j] = pixclip(((bar[j] - bla) >> 1) + dst[j]);
+    } else if (pmode == 26) {  // pure vertical
+        for (i32 i = 0; i < sz; i++)
+            for (i32 j = 0; j < sz; j++) dst[i * sz + j] = bar[j];
+        if (edge)
+            for (i32 i = 0; i < sz; i++)
+                dst[i * sz] = pixclip(((blb[i] - bla) >> 1) + dst[i * sz]);
+    } else {  // angular
+        bool horiz = pmode < 18;
+        i32 angle = kAngle[pmode], inv = kInvAngle[pmode];
+        const u8* main_ = horiz ? blb : bar;
+        const u8* side = horiz ? bar : blb;
+        u8 refbuf[4 * CTU + 1];
+        u8* ref = refbuf + 2 * CTU;
+        ref[0] = bla;
+        for (i32 i = 0; i < sz * 2; i++) ref[1 + i] = side[i];
+        for (i32 i = -1; i > ((sz * angle) >> 5); i--)
+            ref[i] = ref[(128 - inv * i) >> 8];
+        for (i32 i = 0; i < sz * 2; i++) ref[1 + i] = main_[i];
+        for (i32 i = 0; i < sz; i++) {
+            i32 off = angle * (i + 1);
+            i32 oi = off >> 5, of = off & 31;
+            for (i32 j = 0; j < sz; j++) {
+                i32 p1 = ref[oi + j + 1], p2 = ref[oi + j + 2];
+                u8 px = (u8)(((32 - of) * p1 + of * p2 + 16) >> 5);
+                if (horiz) dst[j * sz + i] = px;
+                else dst[i * sz + j] = px;
+            }
+        }
+    }
+}
+
+// transform matrices: DCT32 stored; DCT16/8 derived by even-row subsampling
+static const i32 kDst4[4][4] = {
+    {29, 55, 74, 84}, {74, 74, 0, -74}, {84, -29, -74, 55}, {55, -84, 74, -29}};
+
+struct Mats {
+    i32 m32[32][32], m16[16][16], m8[8][8], m4[4][4];
+    Mats() {
+        // H.265 integer DCT-II basis via its defining closed form:
+        // m32[k][n] = S((k*(2n+1)) mod 128) where S is the signed 128-periodic
+        // extension of the canonical quarter-wave magnitude table (H.265
+        // 8.6.4.2); DCT16/DCT8 are the even-row subsamples of DCT32.
+        static const i32 q32[33] = {64, 90, 90, 90, 89, 88, 87, 85, 83, 82, 80, 78, 75,
+                                    73, 70, 67, 64, 61, 57, 54, 50, 46, 43, 38, 36, 31,
+                                    25, 22, 18, 13, 9, 4, 0};
+        auto cosv = [&](int idx) -> i32 {
+            idx = ((idx % 128) + 128) % 128;
+            int sign = 1;
+            if (idx > 64) idx = 128 - idx;
+            if (idx > 32) { idx = 64 - idx; sign = -1; }
+            return sign * q32[idx];
+        };
+        for (int k = 0; k < 32; k++)
+            for (int n = 0; n < 32; n++) m32[k][n] = cosv(k * (2 * n + 1));
+        for (int k = 0; k < 16; k++)
+            for (int n = 0; n < 16; n++) m16[k][n] = m32[2 * k][n];
+        for (int k = 0; k < 8; k++)
+            for (int n = 0; n < 8; n++) m8[k][n] = m32[4 * k][n];
+        for (int k = 0; k < 4; k++)
+            for (int n = 0; n < 4; n++) m4[k][n] = kDst4[k][n];
+    }
+    const i32* mat(i32 sz) const {
+        return sz == 4 ? &m4[0][0] : sz == 8 ? &m8[0][0] : sz == 16 ? &m16[0][0] : &m32[0][0];
+    }
+};
+static const Mats MT;
+
+// dst = round((A @ B) >> sft), A/B/D stride n; optional transposes + clip
+template <bool TA, bool TB, bool CLIP>
+static void matmul_rs(i32 n, i32 sft, const i32* A, const i32* B, i32* D) {
+    i32 add = 1 << sft >> 1;
+    for (i32 i = 0; i < n; i++)
+        for (i32 j = 0; j < n; j++) {
+            i32 s = add;
+            for (i32 k = 0; k < n; k++)
+                s += (TA ? A[k * n + i] : A[i * n + k]) * (TB ? B[j * n + k] : B[k * n + j]);
+            s >>= sft;
+            D[i * n + j] = CLIP ? coefclip(s) : s;
+        }
+}
+
+static void forward_transform(i32 sz, const i32* src, i32* dst) {
+    const i32* M = MT.mat(sz);
+    i32 a = sz == 4 ? 1 : sz == 8 ? 2 : sz == 16 ? 3 : 4;
+    i32 tmp[CTU * CTU];
+    matmul_rs<false, false, false>(sz, a, M, src, tmp);       // M @ x
+    matmul_rs<false, true, false>(sz, a + 7, tmp, M, dst);    // @ M^T
+}
+
+static void inverse_transform(i32 sz, const i32* src, i32* dst) {
+    const i32* M = MT.mat(sz);
+    i32 tmp[CTU * CTU];
+    matmul_rs<true, false, true>(sz, 7, M, src, tmp);         // M^T @ x
+    matmul_rs<false, false, true>(sz, 12, tmp, M, dst);       // @ M
+}
+
+// RD cost with int32 saturation (reference src/HEVCe.c:177-185)
+static const i32 kWDist[5] = {11, 11, 11, 5, 1};
+static const i32 kWBits[5] = {1, 4, 16, 29, 23};
+static inline i32 rd_cost(i32 qpd6, i32 dist, i32 bits) {
+    i32 w1 = kWDist[qpd6], w2 = kWBits[qpd6];
+    i32 c1 = (I32_MAX / w1 <= dist) ? I32_MAX : w1 * dist;
+    i32 c2 = (I32_MAX / w2 <= bits) ? I32_MAX : w2 * bits;
+    return (I32_MAX - c1 <= c2) ? I32_MAX : c1 + c2;
+}
+
+static i32 coeff_rate(i32 level) {
+    static const i32 tab[6] = {0, 70000, 90000, 92000, 157536, 190304};
+    if (level < 6) return tab[level];
+    level -= 6;
+    i32 i = 0;
+    while ((1 << i) <= level) { level -= 1 << i; i++; }
+    return 92000 + ((3 + i * 2 + 1) << 15);
+}
+
+// simplified RDOQ (reference src/HEVCe.c:540-595); src/dst stride sz
+static void quantize(i32 qpd6, i32 sz, const i32* src, i32* dst) {
+    i32 dist_sft = sz == 4 ? 8 : sz == 8 ? 7 : sz == 16 ? 6 : 5;
+    i32 sft = (sz == 4 ? 19 : sz == 8 ? 18 : sz == 16 ? 17 : 16) + qpd6;
+    i32 add = 1 << sft >> 1;
+    i32 max_dl = I32_MAX - add;
+    i32 thr = 9 << sft >> 2;
+    for (i32 yc = 0; yc < sz; yc += 4)
+        for (i32 xc = 0; xc < sz; xc += 4) {
+            i32 cg_sum = 0;
+            for (i32 y = yc; y < yc + 4; y++)
+                for (i32 x = xc; x < xc + 4; x++) {
+                    i32 v = src[y * sz + x];
+                    i32 av = v < 0 ? -v : v;
+                    i32 dl = (av > 0x1ffff) ? max_dl
+                             : ((av & 0x1ffff) << 14) < max_dl ? ((av & 0x1ffff) << 14) : max_dl;
+                    i32 lvl = coefclip((dl + add) >> sft);
+                    i32 minl = lvl - 2 > 0 ? lvl - 2 : 0;
+                    i32 best_cost = I32_MAX;
+                    for (; lvl >= minl; lvl--) {
+                        i32 d1 = dl - (lvl << sft);
+                        if (d1 < 0) d1 = -d1;
+                        d1 >>= dist_sft;
+                        i32 d = ((d1 < 46340) ? d1 * d1 : I32_MAX) >> 7;
+                        i32 cost = rd_cost(qpd6, d, coeff_rate(lvl));
+                        if (cost < best_cost) { best_cost = cost; dst[y * sz + x] = lvl; }
+                    }
+                    if (v < 0) dst[y * sz + x] = -dst[y * sz + x];
+                    cg_sum += dl < thr ? dl : thr;
+                }
+            if (cg_sum < thr)
+                for (i32 y = yc; y < yc + 4; y++)
+                    for (i32 x = xc; x < xc + 4; x++) dst[y * sz + x] = 0;
+        }
+}
+
+static void dequantize(i32 qpd6, i32 sz, const i32* src, i32* dst) {
+    i32 q = (sz == 4 ? 5 : sz == 8 ? 4 : sz == 16 ? 3 : 2) + qpd6;
+    for (i32 i = 0; i < sz * sz; i++) dst[i] = coefclip(src[i] << q);
+}
+
+// ---------------------------------------------------------------------------
+// RD search engine (semantics of reference src/HEVCe.c:1346-1560 / the
+// validated Python arbiter, hevce_tpu/models/encoder.py)
+// ---------------------------------------------------------------------------
+
+struct EncState {
+    i32 qpd6;
+    i32 ysz0, xsz0;        // unpadded dims (original-pixel clamping)
+    i32 yszn, xszn;        // padded dims
+    const u8* img;
+    std::vector<u8> rcon;  // (yszn, xszn) reconstructed plane
+    std::vector<u8> map_cu_sz, map_pmode;  // (9, 1 + xszn/4) line buffers
+    i32 map_w;
+    i32 ctu_y;
+    CabacEnc enc;
+    CtxSet ctxs;
+    std::vector<u8> arena;   // shared byte arena (coder output since last drain)
+
+    // clamped reads
+    inline u8 rc(i32 y, i32 x) const {
+        y = iclip(y, 0, yszn - 1);
+        x = iclip(x, 0, xszn - 1);
+        return rcon[(size_t)y * xszn + x];
+    }
+    inline u8 og(i32 y, i32 x) const {
+        y = iclip(y, 0, ysz0 - 1);
+        x = iclip(x, 0, xsz0 - 1);
+        return img[(size_t)y * xsz0 + x];
+    }
+    inline i32 mrow(i32 y) const { return 1 + (y - ctu_y) / 4; }
+    inline u8& mcu(i32 r, i32 c) { return map_cu_sz[(size_t)r * map_w + c]; }
+    inline u8& mpm(i32 r, i32 c) { return map_pmode[(size_t)r * map_w + c]; }
+};
+
+struct NodeMath {
+    // all-35-mode candidates for one node, produced by the math engine
+    i32 quant[MODES][CTU * CTU];          // single-TU quantized levels
+    u8 recon[MODES][CTU * CTU];
+    i32 sse[MODES];
+    i32 quant4[MODES][4][CTU * CTU / 4];  // four-TU quantized levels
+    u8 recon4[MODES][CTU * CTU];
+    i32 sse4[MODES];
+};
+
+// border context slices for a node at (y, x) size sz
+static void ctx_slices(const EncState& st, i32 y, i32 x, i32 sz, i32* top, i32* left) {
+    for (i32 j = 0; j < 1 + 2 * sz; j++) top[j] = st.rc(y - 1, x - 1 + j);
+    for (i32 i = 0; i < 2 * sz; i++) left[i] = st.rc(y + i, x - 1);
+}
+
+static const i32 kSubOff[4][2] = {{0, 0}, {0, 1}, {1, 0}, {1, 1}};
+
+static void sub_flags(bool bll, bool blb, bool baa, bool bar, bool out[4][4]) {
+    const bool f[4][4] = {{bll, bll, baa, baa},
+                          {true, false, baa, bar},
+                          {bll, blb, true, true},
+                          {true, false, true, false}};
+    std::memcpy(out, f, sizeof f);
+}
+
+// single-mode candidate pipeline; returns SSE
+static i32 candidate(i32 qpd6, i32 sz, const Borders& B, i32 pmode, const u8* orig,
+                     i32 orig_stride, i32* quant_out, u8* recon_out) {
+    u8 pred[CTU * CTU];
+    i32 resid[CTU * CTU], coef[CTU * CTU], dq[CTU * CTU], inv[CTU * CTU];
+    predict(sz, pmode, B, pred);
+    for (i32 i = 0; i < sz; i++)
+        for (i32 j = 0; j < sz; j++)
+            resid[i * sz + j] = (i32)orig[i * orig_stride + j] - pred[i * sz + j];
+    forward_transform(sz, resid, coef);
+    quantize(qpd6, sz, coef, quant_out);
+    dequantize(qpd6, sz, quant_out, dq);
+    inverse_transform(sz, dq, inv);
+    i32 sse = 0;
+    for (i32 i = 0; i < sz; i++)
+        for (i32 j = 0; j < sz; j++) {
+            u8 r = pixclip(inv[i * sz + j] + pred[i * sz + j]);
+            recon_out[i * sz + j] = r;
+            i32 d = (i32)orig[i * orig_stride + j] - r;
+            sse += d * d;
+        }
+    return sse;
+}
+
+// host math engine: fills NodeMath for one node (the TPU device engine fills
+// the same structure on the batched path)
+static void node_math(EncState& st, i32 y, i32 x, i32 sz,
+                      bool bll, bool blb, bool baa, bool bar, NodeMath& M) {
+    i32 top[1 + 2 * CTU], left[2 * CTU];
+    ctx_slices(st, y, x, sz, top, left);
+    u8 orig[CTU * CTU];
+    for (i32 i = 0; i < sz; i++)
+        for (i32 j = 0; j < sz; j++) orig[i * sz + j] = st.og(y + i, x + j);
+
+    Borders B;
+    build_borders(sz, top, left, bll, blb, baa, bar, B);
+    for (i32 pm = 0; pm < MODES; pm++)
+        M.sse[pm] = candidate(st.qpd6, sz, B, pm, orig, sz, M.quant[pm], M.recon[pm]);
+
+    // TU-split: per-mode chained sub-TUs over a per-mode canvas
+    i32 h = sz / 2;
+    bool sf[4][4];
+    sub_flags(bll, blb, baa, bar, sf);
+    for (i32 pm = 0; pm < MODES; pm++) {
+        u8* canvas = M.recon4[pm];  // (sz, sz), stride sz
+        for (int isub = 0; isub < 4; isub++) {
+            i32 oy = kSubOff[isub][0] * h, ox = kSubOff[isub][1] * h;
+            i32 stop[1 + 2 * CTU], sleft[2 * CTU];
+            // assemble sub-TU border context from outer ctx + canvas
+            for (i32 j = 0; j < 1 + 2 * h; j++) {
+                i32 gy = oy - 1, gx = ox - 1 + j;
+                stop[j] = (gy < 0) ? top[1 + iclip(gx, -1, 2 * sz - 1)]
+                          : (gx < 0) ? left[gy]
+                          : canvas[gy * sz + iclip(gx, 0, sz - 1)];
+            }
+            for (i32 i = 0; i < 2 * h; i++) {
+                i32 gy = oy + i, gx = ox - 1;
+                sleft[i] = (gx < 0) ? left[iclip(gy, 0, 2 * sz - 1)]
+                           : canvas[iclip(gy, 0, sz - 1) * sz + gx];
+            }
+            Borders SB;
+            build_borders(h, stop, sleft, sf[isub][0], sf[isub][1], sf[isub][2], sf[isub][3], SB);
+            u8 srecon[CTU * CTU / 4];
+            u8 sorig[CTU * CTU / 4];
+            for (i32 i = 0; i < h; i++)
+                for (i32 j = 0; j < h; j++) sorig[i * h + j] = orig[(oy + i) * sz + ox + j];
+            candidate(st.qpd6, h, SB, pm, sorig, h, M.quant4[pm][isub], srecon);
+            for (i32 i = 0; i < h; i++)
+                for (i32 j = 0; j < h; j++) canvas[(oy + i) * sz + ox + j] = srecon[i * h + j];
+        }
+        i32 sse = 0;
+        for (i32 i = 0; i < sz * sz; i++) {
+            i32 d = (i32)orig[i] - canvas[i];
+            sse += d * d;
+        }
+        M.sse4[pm] = sse;
+    }
+}
+
+// saturated distortion-only lower bound for pruning
+static inline i32 dist_floor(i32 qpd6, i32 dist) {
+    i32 w1 = kWDist[qpd6];
+    return (I32_MAX / w1 <= dist) ? I32_MAX : w1 * dist;
+}
+
+static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
+                       bool bll, bool blb, bool baa, bool bar) {
+    const i32 q = st.qpd6;
+    const CabacEnc o_enc = st.enc;
+    const CtxSet o_ctxs = st.ctxs;
+    const size_t o_arena = st.arena.size();
+    const i64 o_len = o_enc.bit_len();
+
+    const i32 mr = st.mrow(y), mc = 1 + x / 4;
+    const bool gl = sz > st.mcu(mr, mc - 1);
+    const bool ga = sz > st.mcu(mr - 1, mc);
+    const i32 pml = st.mpm(mr, mc - 1);
+    const i32 pma = st.mpm(mr - 1, mc);
+    const i32 ntu = sz / 4;
+
+    u8 orig[CTU * CTU];
+    for (i32 i = 0; i < sz; i++)
+        for (i32 j = 0; j < sz; j++) orig[i * sz + j] = st.og(y + i, x + j);
+
+    i32 best = I32_MAX;
+    u8 best_rcon[CTU * CTU];
+    std::vector<u8> best_bytes;   // winner's appended bytes beyond o_arena
+    CabacEnc best_enc = o_enc;
+    CtxSet best_ctxs = o_ctxs;
+    bool have_best = false;
+
+    auto sse_vs_plane = [&]() {
+        i32 s = 0;
+        for (i32 i = 0; i < sz; i++)
+            for (i32 j = 0; j < sz; j++) {
+                i32 d = (i32)orig[i * sz + j] - st.rcon[(size_t)(y + i) * st.xszn + x + j];
+                s += d * d;
+            }
+        return s;
+    };
+
+    // ---- step 1: split (runs live; children append to arena) ----
+    if (sz > MIN_CU) {
+        put_split_cu(st.enc, st.ctxs, sz, 1, gl, ga);
+        bool sf[4][4];
+        sub_flags(bll, blb, baa, bar, sf);
+        i32 h = sz / 2;
+        for (int isub = 0; isub < 4; isub++)
+            process_cu(st, y + kSubOff[isub][0] * h, x + kSubOff[isub][1] * h, h,
+                       sf[isub][0], sf[isub][1], sf[isub][2], sf[isub][3]);
+        best = rd_cost(q, sse_vs_plane(), (i32)(st.enc.bit_len() - o_len));
+        for (i32 i = 0; i < sz; i++)
+            std::memcpy(best_rcon + i * sz, &st.rcon[(size_t)(y + i) * st.xszn + x], sz);
+        best_bytes.assign(st.arena.begin() + o_arena, st.arena.end());
+        best_enc = st.enc;
+        best_ctxs = st.ctxs;
+        have_best = true;
+        // roll the live coder back to the fork point; the incumbent is kept
+        // aside and restored if no later candidate wins
+        st.arena.resize(o_arena);
+        st.enc = o_enc;
+        st.ctxs = o_ctxs;
+    }
+
+    // ---- math for steps 2+3 (device engine on the batched path) ----
+    static thread_local NodeMath M;
+    node_math(st, y, x, sz, bll, blb, baa, bar, M);
+
+    // ---- step 2: 2Nx2N single TU ----
+    for (i32 pm = 0; pm < MODES; pm++) {
+        if (dist_floor(q, M.sse[pm]) > best) continue;   // provably loses
+        st.enc = o_enc;
+        st.ctxs = o_ctxs;
+        put_split_cu(st.enc, st.ctxs, sz, 0, gl, ga);
+        put_cu_2nx2n(st.enc, st.ctxs, sz, pm, pml, pma, M.quant[pm]);
+        i32 cost = rd_cost(q, M.sse[pm], (i32)(st.enc.bit_len() - o_len));
+        if (best >= cost) {
+            best = cost;
+            std::memcpy(best_rcon, M.recon[pm], (size_t)sz * sz);
+            best_bytes.assign(st.arena.begin() + o_arena, st.arena.end());
+            best_enc = st.enc;
+            best_ctxs = st.ctxs;
+            have_best = true;
+            for (i32 r = 0; r < ntu; r++) {
+                std::memset(&st.mcu(mr + r, mc), sz, ntu);
+                std::memset(&st.mpm(mr + r, mc), pm, ntu);
+            }
+        }
+        st.arena.resize(o_arena);
+    }
+
+    // ---- step 3: 2Nx2N, four TUs ----
+    for (i32 pm = 0; pm < MODES; pm++) {
+        if (dist_floor(q, M.sse4[pm]) > best) continue;
+        st.enc = o_enc;
+        st.ctxs = o_ctxs;
+        put_split_cu(st.enc, st.ctxs, sz, 0, gl, ga);
+        const i32* subs[4] = {M.quant4[pm][0], M.quant4[pm][1], M.quant4[pm][2],
+                              M.quant4[pm][3]};
+        put_cu_tusplit(st.enc, st.ctxs, sz, pm, pml, pma, subs);
+        i32 cost = rd_cost(q, M.sse4[pm], (i32)(st.enc.bit_len() - o_len));
+        if (best >= cost) {
+            best = cost;
+            std::memcpy(best_rcon, M.recon4[pm], (size_t)sz * sz);
+            best_bytes.assign(st.arena.begin() + o_arena, st.arena.end());
+            best_enc = st.enc;
+            best_ctxs = st.ctxs;
+            have_best = true;
+            for (i32 r = 0; r < ntu; r++) {
+                std::memset(&st.mcu(mr + r, mc), sz, ntu);
+                std::memset(&st.mpm(mr + r, mc), pm, ntu);
+            }
+        }
+        st.arena.resize(o_arena);
+    }
+
+    // ---- step 4: NxN (8x8 only) ----
+    if (sz == MIN_CU) {
+        i32 h = sz / 2;
+        bool sf[4][4];
+        sub_flags(bll, blb, baa, bar, sf);
+        i32 sub_pm[4] = {0, 0, 0, 0};
+        static thread_local i32 sub_q[4][16];
+        for (int isub = 0; isub < 4; isub++) {
+            i32 py = y + kSubOff[isub][0] * h, px = x + kSubOff[isub][1] * h;
+            i32 top[1 + 2 * CTU], left[2 * CTU];
+            ctx_slices(st, py, px, h, top, left);
+            Borders B;
+            build_borders(h, top, left, sf[isub][0], sf[isub][1], sf[isub][2], sf[isub][3], B);
+            u8 sorig[16];
+            for (i32 i = 0; i < h; i++)
+                for (i32 j = 0; j < h; j++) sorig[i * h + j] = st.og(py + i, px + j);
+            i32 sub_best = I32_MAX;
+            // fresh-coder rate approximation per candidate (src/HEVCe.c:1505-1519)
+            std::vector<u8> scratch_arena;
+            for (i32 pm = 0; pm < MODES; pm++) {
+                i32 qq[16];
+                u8 rr[16];
+                i32 sse = candidate(q, h, B, pm, sorig, h, qq, rr);
+                if (dist_floor(q, sse) > sub_best) continue;
+                scratch_arena.clear();
+                CabacEnc ne;
+                ne.arena = &scratch_arena;
+                CtxSet nc;
+                nc.init(q);
+                put_coef(ne, nc, h, false, pm, qq);
+                i32 cost = rd_cost(q, sse, (i32)ne.bit_len());
+                if (sub_best >= cost) {
+                    sub_best = cost;
+                    sub_pm[isub] = pm;
+                    std::memcpy(sub_q[isub], qq, sizeof qq);
+                    for (i32 i = 0; i < h; i++)
+                        std::memcpy(&st.rcon[(size_t)(py + i) * st.xszn + px], rr + i * h, h);
+                }
+            }
+        }
+        i32 pls[4] = {pml, sub_pm[0], st.mpm(st.mrow(y + h), 1 + x / 4 - 1), sub_pm[2]};
+        i32 pas[4] = {pma, st.mpm(st.mrow(y) - 1, 1 + (x + h) / 4), sub_pm[0], sub_pm[1]};
+        st.enc = o_enc;
+        st.ctxs = o_ctxs;
+        put_split_cu(st.enc, st.ctxs, sz, 0, gl, ga);
+        const i32* subs[4] = {sub_q[0], sub_q[1], sub_q[2], sub_q[3]};
+        put_cu_nxn(st.enc, st.ctxs, sz, sub_pm, pls, pas, subs);
+        i32 cost = rd_cost(q, sse_vs_plane(), (i32)(st.enc.bit_len() - o_len));
+        if (best >= cost) {
+            // winner: PU recons already in the plane; coder state is live
+            for (i32 r = 0; r < ntu; r++) std::memset(&st.mcu(mr + r, mc), sz, ntu);
+            st.mpm(st.mrow(y), 1 + x / 4) = (u8)sub_pm[0];
+            st.mpm(st.mrow(y), 1 + (x + h) / 4) = (u8)sub_pm[1];
+            st.mpm(st.mrow(y + h), 1 + x / 4) = (u8)sub_pm[2];
+            st.mpm(st.mrow(y + h), 1 + (x + h) / 4) = (u8)sub_pm[3];
+            return;
+        }
+        st.arena.resize(o_arena);
+    }
+
+    // restore winner coder state + bytes + recon
+    st.enc = best_enc;
+    st.ctxs = best_ctxs;
+    st.arena.insert(st.arena.end(), best_bytes.begin(), best_bytes.end());
+    (void)have_best;
+    for (i32 i = 0; i < sz; i++)
+        std::memcpy(&st.rcon[(size_t)(y + i) * st.xszn + x], best_rcon + i * sz, sz);
+}
+
+// ---------------------------------------------------------------------------
+// headers + top-level encode (reference src/HEVCe.c:621-691, :1566-1647)
+// ---------------------------------------------------------------------------
+
+struct BitWriter {
+    std::vector<u8>& out;
+    i32 acc = 0, nacc = 0;
+    explicit BitWriter(std::vector<u8>& o) : out(o) {}
+    void bits(i32 v, i32 len) {
+        for (i32 i = len - 1; i >= 0; i--) {
+            acc = (acc << 1) | ((v >> i) & 1);
+            if (++nacc == 8) { out.push_back((u8)acc); acc = 0; nacc = 0; }
+        }
+    }
+    void uvlc(i32 value) {
+        i32 v = value + 1, half = 0;
+        for (i32 t = v + 1; t > 1; t >>= 1) half++;
+        bits(0, half);
+        bits(v & ((1 << (half + 1)) - 1), half + 1);
+    }
+    void align() { while (nacc) bits(0, 1); }
+};
+
+static void write_headers(std::vector<u8>& out, i32 qpd6, i32 ysz, i32 xsz) {
+    static const u8 vps[] = {0x00, 0x00, 0x01, 0x40, 0x01, 0x0C, 0x01, 0xFF, 0xFF, 0x03,
+                             0x10, 0x00, 0x00, 0x03, 0x00, 0x00, 0x03, 0x00, 0x00, 0x03,
+                             0x00, 0x00, 0x03, 0x00, 0xB4, 0xF0, 0x24};
+    static const u8 sps[] = {0x00, 0x00, 0x01, 0x42, 0x01, 0x01, 0x03, 0x10, 0x00, 0x00,
+                             0x03, 0x00, 0x00, 0x03, 0x00, 0x00, 0x03, 0x00, 0x00, 0x03,
+                             0x00, 0xB4};
+    static const u8 pps[] = {0x00, 0x00, 0x01, 0x44, 0x01, 0xC0, 0x90, 0x91, 0x81, 0xD9, 0x20};
+    static const u8 slice[5][8] = {
+        {0x00, 0x00, 0x01, 0x26, 0x01, 0xAC, 0x16, 0xDE},
+        {0x00, 0x00, 0x01, 0x26, 0x01, 0xAC, 0x10, 0xDE},
+        {0x00, 0x00, 0x01, 0x26, 0x01, 0xAC, 0x2B, 0x78},
+        {0x00, 0x00, 0x01, 0x26, 0x01, 0xAC, 0x4D, 0xE0},
+        {0x00, 0x00, 0x01, 0x26, 0x01, 0xAC, 0x97, 0x80}};
+    out.insert(out.end(), vps, vps + sizeof vps);
+    out.insert(out.end(), sps, sps + sizeof sps);
+    BitWriter bw(out);
+    bw.bits(0x0A, 4);
+    bw.uvlc(xsz);
+    bw.uvlc(ysz);
+    bw.bits(0x197EE4, 22);
+    bw.bits(0x681ED1, 24);  // max_transform_hierarchy_depth_intra = 1
+    bw.align();
+    out.insert(out.end(), pps, pps + sizeof pps);
+    out.insert(out.end(), slice[qpd6], slice[qpd6] + 8);
+}
+
+static i64 encode(const u8* img, i32* ysz, i32* xsz, i32 qpd6, u8* stream, u8* rcon_out) {
+    EncState st;
+    st.qpd6 = qpd6;
+    st.ysz0 = *ysz < 8192 ? *ysz : 8192;
+    st.xsz0 = *xsz < 8192 ? *xsz : 8192;
+    st.yszn = (st.ysz0 + CTU - 1) / CTU * CTU;
+    st.xszn = (st.xsz0 + CTU - 1) / CTU * CTU;
+    st.img = img;
+    st.rcon.assign((size_t)st.yszn * st.xszn, 0);
+    st.map_w = 1 + st.xszn / 4;
+    st.map_cu_sz.assign((size_t)9 * st.map_w, CTU);
+    st.map_pmode.assign((size_t)9 * st.map_w, 1);  // DC
+    st.ctxs.init(qpd6);
+    st.arena.reserve(1 << 20);
+    st.enc.arena = &st.arena;
+
+    std::vector<u8> out;
+    out.reserve((size_t)st.yszn * st.xszn);
+    write_headers(out, qpd6, st.yszn, st.xszn);
+
+    for (i32 y = 0; y < st.yszn; y += CTU) {
+        st.ctu_y = y;
+        for (i32 x = 0; x < st.xszn; x += CTU) {
+            bool bll = x > 0, baa = y > 0;
+            bool bar = baa && (x + CTU < st.xszn);
+            process_cu(st, y, x, CTU, bll, false, baa, bar);
+            bool last = (y + CTU >= st.yszn) && (x + CTU >= st.xszn);
+            st.enc.terminate(last);
+            out.insert(out.end(), st.arena.begin(), st.arena.end());
+            st.arena.clear();
+        }
+        // scroll cu-size line buffer only (above-CTU pmode stays DC)
+        std::memcpy(&st.mcu(0, 1), &st.mcu(8, 1), st.map_w - 1);
+    }
+    st.enc.finish();
+    out.insert(out.end(), st.arena.begin(), st.arena.end());
+
+    std::memcpy(stream, out.data(), out.size());
+    for (i32 i = 0; i < st.yszn; i++)
+        std::memcpy(rcon_out + (size_t)i * st.xszn, &st.rcon[(size_t)i * st.xszn], st.xszn);
+    *ysz = st.yszn;
+    *xsz = st.xszn;
+    return (i64)out.size();
+}
+
+}  // namespace hevce
+
+// ---------------------------------------------------------------------------
+// C ABI (ctypes binding surface)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// mirrors the reference contract HEVCImageEncoder (reference src/HEVCe.h:5-12)
+long long hevce_encode(const uint8_t* img, int* ysz, int* xsz, int qpd6,
+                       uint8_t* stream_out, uint8_t* rcon_out) {
+    if (qpd6 < 0 || qpd6 > 4 || *ysz <= 0 || *xsz <= 0) return -1;
+    return hevce::encode(img, ysz, xsz, qpd6, stream_out, rcon_out);
+}
+
+int hevce_version() { return 10; }
+}

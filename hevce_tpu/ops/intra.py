@@ -125,6 +125,99 @@ def _planar_dc_tables(sz: int):
 # dense 35-mode prediction
 # ---------------------------------------------------------------------------
 
+def predict_per_lane(sz: int, S: jnp.ndarray) -> jnp.ndarray:
+    """Mode-diagonal prediction: lane m of S predicts with mode m only.
+
+    S: (..., 35, 2+8*sz) border vectors, one per mode lane (they differ when
+    sub-TU chaining gives each mode its own reconstruction).
+    Returns (..., 35, sz, sz). Used by the TU-split evaluation where borders
+    are per-mode; `predict_all_modes` covers the shared-border case.
+    """
+    idx1, idx2, frac, horiz = _angular_tables(sz)
+    take = jnp.take_along_axis
+    flat1 = jnp.asarray(idx1.reshape(35, -1))
+    flat2 = jnp.asarray(idx2.reshape(35, -1))
+    bshape = S.shape[:-2]
+    f1 = jnp.broadcast_to(flat1, bshape + flat1.shape)
+    f2 = jnp.broadcast_to(flat2, bshape + flat2.shape)
+    p1 = take(S, f1, axis=-1).reshape(bshape + (35, sz, sz))
+    p2 = take(S, f2, axis=-1).reshape(bshape + (35, sz, sz))
+    ang = ((32 - jnp.asarray(frac)) * p1 + jnp.asarray(frac) * p2 + 16) >> 5
+    hmask = jnp.asarray(horiz)[:, None, None]
+    ang = jnp.where(hmask, jnp.swapaxes(ang, -1, -2), ang)
+
+    # closed-form rows use each lane's own border vector
+    def lane(m):
+        return S[..., m, :]
+    full = _closed_form_rows(sz, ang,
+                             S0=lane(0), S1=lane(1),
+                             S10=lane(C.PMODE_HOR), S26=lane(C.PMODE_VER))
+    return full
+
+
+def _split_S(sz, S):
+    ubla = S[..., 0]
+    ublb = S[..., 1:1 + 2 * sz]
+    ubar = S[..., 1 + 2 * sz:1 + 4 * sz]
+    foff = 1 + 4 * sz
+    fblb = S[..., foff + 1:foff + 1 + 2 * sz]
+    fbar = S[..., foff + 1 + 2 * sz:foff + 1 + 4 * sz]
+    return ubla, ublb, ubar, fblb, fbar
+
+
+def _planar_block(sz, S):
+    ubla, ublb, ubar, fblb, fbar = _split_S(sz, S)
+    pblb, pbar = (fblb, fbar) if C.FILTER_BORDER_Y[sz][0] else (ublb, ubar)
+    jj = jnp.arange(sz, dtype=jnp.int32)
+    ii = jj[:, None]
+    hor_pred = (sz - jj - 1)[None, :] * pblb[..., :sz][..., :, None] \
+        + (jj + 1)[None, :] * pbar[..., sz][..., None, None]
+    ver_pred = (sz - ii - 1) * pbar[..., :sz][..., None, :] \
+        + (ii + 1) * pblb[..., sz][..., None, None]
+    return (sz + hor_pred + ver_pred) // (sz * 2)
+
+
+def _dc_block(sz, S):
+    ubla, ublb, ubar, _, _ = _split_S(sz, S)
+    dc = (sz + ublb[..., :sz].sum(-1) + ubar[..., :sz].sum(-1)) // (2 * sz)
+    dcb = jnp.broadcast_to(dc[..., None, None], dc.shape + (sz, sz))
+    if sz <= 16:
+        top = (2 + 3 * dc[..., None] + ubar[..., :sz]) >> 2
+        left = (2 + 3 * dc[..., None] + ublb[..., :sz]) >> 2
+        corner = (2 + 2 * dc + ublb[..., 0] + ubar[..., 0]) >> 2
+        dcb = dcb.at[..., 0, :].set(top)
+        dcb = dcb.at[..., :, 0].set(left)
+        dcb = dcb.at[..., 0, 0].set(corner)
+    return dcb
+
+
+def _hor_block(sz, S):
+    ubla, ublb, ubar, _, _ = _split_S(sz, S)
+    horb = jnp.broadcast_to(ublb[..., :sz, None], ublb.shape[:-1] + (sz, sz))
+    if sz <= 16:
+        bias = (ubar[..., :sz] - ubla[..., None]) >> 1
+        horb = horb.at[..., 0, :].set(jnp.clip(bias + horb[..., 0, :], 0, 255))
+    return horb
+
+
+def _ver_block(sz, S):
+    ubla, ublb, ubar, _, _ = _split_S(sz, S)
+    verb = jnp.broadcast_to(ubar[..., None, :sz], ubar.shape[:-1] + (sz, sz))
+    if sz <= 16:
+        bias = (ublb[..., :sz] - ubla[..., None]) >> 1
+        verb = verb.at[..., :, 0].set(jnp.clip(bias + verb[..., :, 0], 0, 255))
+    return verb
+
+
+def _closed_form_rows(sz, ang, S0, S1, S10, S26):
+    out = ang
+    out = out.at[..., 0, :, :].set(_planar_block(sz, S0))
+    out = out.at[..., 1, :, :].set(_dc_block(sz, S1))
+    out = out.at[..., C.PMODE_HOR, :, :].set(_hor_block(sz, S10))
+    out = out.at[..., C.PMODE_VER, :, :].set(_ver_block(sz, S26))
+    return out
+
+
 def predict_all_modes(sz: int, S: jnp.ndarray) -> jnp.ndarray:
     """All 35 predicted blocks from border vector S (..., 2+8*sz) int32.
 
@@ -143,51 +236,5 @@ def predict_all_modes(sz: int, S: jnp.ndarray) -> jnp.ndarray:
     hmask = jnp.asarray(horiz)[:, None, None]
     ang = jnp.where(hmask, jnp.swapaxes(ang, -1, -2), ang)
 
-    # unfiltered / filtered border views
-    ubla = S[..., 0]
-    ublb = S[..., 1:1 + 2 * sz]
-    ubar = S[..., 1 + 2 * sz:1 + 4 * sz]
-    foff = 1 + 4 * sz
-    fblb = S[..., foff + 1:foff + 1 + 2 * sz]
-    fbar = S[..., foff + 1 + 2 * sz:foff + 1 + 4 * sz]
-
-    # planar (mode 0, src/HEVCe.c:293-300); filtered borders for sz >= 8
-    pblb, pbar = (fblb, fbar) if C.FILTER_BORDER_Y[sz][0] else (ublb, ubar)
-    jj = jnp.arange(sz, dtype=jnp.int32)
-    ii = jj[:, None]
-    # hor_pred[i][j] = (sz-j-1)*blb[i] + (j+1)*bar[sz]   (src/HEVCe.c:296)
-    hor_pred = (sz - jj - 1)[None, :] * pblb[..., :sz][..., :, None] \
-        + (jj + 1)[None, :] * pbar[..., sz][..., None, None]
-    # ver_pred[i][j] = (sz-i-1)*bar[j] + (i+1)*blb[sz]   (src/HEVCe.c:297)
-    ver_pred = (sz - ii - 1) * pbar[..., :sz][..., None, :] \
-        + (ii + 1) * pblb[..., sz][..., None, None]
-    planar = (sz + hor_pred + ver_pred) // (sz * 2)
-
-    # DC (mode 1, src/HEVCe.c:302-318); always unfiltered borders
-    dc = (sz + ublb[..., :sz].sum(-1) + ubar[..., :sz].sum(-1)) // (2 * sz)
-    dcb = jnp.broadcast_to(dc[..., None, None], dc.shape + (sz, sz))
-    if sz <= 16:  # luma edge filter
-        top = (2 + 3 * dc[..., None] + ubar[..., :sz]) >> 2
-        left = (2 + 3 * dc[..., None] + ublb[..., :sz]) >> 2
-        corner = (2 + 2 * dc + ublb[..., 0] + ubar[..., 0]) >> 2
-        dcb = dcb.at[..., 0, :].set(top)
-        dcb = dcb.at[..., :, 0].set(left)
-        dcb = dcb.at[..., 0, 0].set(corner)
-
-    # pure horizontal (10) / vertical (26) with sz<=16 edge bias (src/HEVCe.c:320-340)
-    horb = jnp.broadcast_to(ublb[..., :sz, None], ublb.shape[:-1] + (sz, sz))
-    verb = jnp.broadcast_to(ubar[..., None, :sz], ubar.shape[:-1] + (sz, sz))
-    if sz <= 16:
-        bias_t = (ubar[..., :sz] - ubla[..., None]) >> 1
-        horb = horb.at[..., 0, :].set(
-            jnp.clip(bias_t + horb[..., 0, :], 0, 255))
-        bias_l = (ublb[..., :sz] - ubla[..., None]) >> 1
-        verb = verb.at[..., :, 0].set(
-            jnp.clip(bias_l + verb[..., :, 0], 0, 255))
-
-    out = ang
-    out = out.at[..., 0, :, :].set(planar)
-    out = out.at[..., 1, :, :].set(dcb)
-    out = out.at[..., C.PMODE_HOR, :, :].set(horb)
-    out = out.at[..., C.PMODE_VER, :, :].set(verb)
-    return out
+    # closed-form rows (planar/DC/H/V) share the single border vector
+    return _closed_form_rows(sz, ang, S0=S, S1=S, S10=S, S26=S)
