@@ -7,6 +7,11 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # env alone is overridden by the
+# axon plugin in this environment; force the 8-virtual-device CPU backend.
+
 import pathlib
 
 import numpy as np
