@@ -692,39 +692,74 @@ struct Mats {
         for (int k = 0; k < 4; k++)
             for (int n = 0; n < 4; n++) m4[k][n] = kDst4[k][n];
     }
+    i32 t32[32][32], t16[16][16], t8[8][8], t4[4][4];  // transposes
+    void fill_transposes() {
+        for (int k = 0; k < 32; k++) for (int n = 0; n < 32; n++) t32[n][k] = m32[k][n];
+        for (int k = 0; k < 16; k++) for (int n = 0; n < 16; n++) t16[n][k] = m16[k][n];
+        for (int k = 0; k < 8; k++) for (int n = 0; n < 8; n++) t8[n][k] = m8[k][n];
+        for (int k = 0; k < 4; k++) for (int n = 0; n < 4; n++) t4[n][k] = m4[k][n];
+    }
     const i32* mat(i32 sz) const {
         return sz == 4 ? &m4[0][0] : sz == 8 ? &m8[0][0] : sz == 16 ? &m16[0][0] : &m32[0][0];
     }
+    const i32* matT(i32 sz) const {
+        return sz == 4 ? &t4[0][0] : sz == 8 ? &t8[0][0] : sz == 16 ? &t16[0][0] : &t32[0][0];
+    }
 };
-static const Mats MT;
+static const Mats MT = [] { Mats m; m.fill_transposes(); return m; }();
 
-// dst = round((A @ B) >> sft), A/B/D stride n; optional transposes + clip
-template <bool TA, bool TB, bool CLIP>
-static void matmul_rs(i32 n, i32 sft, const i32* A, const i32* B, i32* D) {
-    i32 add = 1 << sft >> 1;
-    for (i32 i = 0; i < n; i++)
-        for (i32 j = 0; j < n; j++) {
-            i32 s = add;
-            for (i32 k = 0; k < n; k++)
-                s += (TA ? A[k * n + i] : A[i * n + k]) * (TB ? B[j * n + k] : B[k * n + j]);
-            s >>= sft;
-            D[i * n + j] = CLIP ? coefclip(s) : s;
+// D = round((A @ B) >> sft): row-major saxpy form, vectorizable over j
+template <int N, bool CLIP>
+static void matmul_axpy(i32 sft, const i32* __restrict A, const i32* __restrict B,
+                        i32* __restrict D) {
+    const i32 add = 1 << sft >> 1;
+    for (i32 i = 0; i < N; i++) {
+        i32 acc[N];
+        for (i32 j = 0; j < N; j++) acc[j] = add;
+        for (i32 k = 0; k < N; k++) {
+            const i32 a = A[i * N + k];
+            const i32* __restrict Bk = B + k * N;
+            for (i32 j = 0; j < N; j++) acc[j] += a * Bk[j];
         }
+        i32* __restrict Di = D + i * N;
+        if (CLIP)
+            for (i32 j = 0; j < N; j++) Di[j] = coefclip(acc[j] >> sft);
+        else
+            for (i32 j = 0; j < N; j++) Di[j] = acc[j] >> sft;
+    }
+}
+
+template <int N>
+static void fwd_xform(const i32* src, i32* dst) {
+    constexpr i32 a = N == 4 ? 1 : N == 8 ? 2 : N == 16 ? 3 : 4;
+    i32 tmp[N * N];
+    matmul_axpy<N, false>(a, MT.mat(N), src, tmp);        // M @ x
+    matmul_axpy<N, false>(a + 7, tmp, MT.matT(N), dst);   // @ M^T
+}
+
+template <int N>
+static void inv_xform(const i32* src, i32* dst) {
+    i32 tmp[N * N];
+    matmul_axpy<N, true>(7, MT.matT(N), src, tmp);        // M^T @ x
+    matmul_axpy<N, true>(12, tmp, MT.mat(N), dst);        // @ M
 }
 
 static void forward_transform(i32 sz, const i32* src, i32* dst) {
-    const i32* M = MT.mat(sz);
-    i32 a = sz == 4 ? 1 : sz == 8 ? 2 : sz == 16 ? 3 : 4;
-    i32 tmp[CTU * CTU];
-    matmul_rs<false, false, false>(sz, a, M, src, tmp);       // M @ x
-    matmul_rs<false, true, false>(sz, a + 7, tmp, M, dst);    // @ M^T
+    switch (sz) {
+        case 4: fwd_xform<4>(src, dst); break;
+        case 8: fwd_xform<8>(src, dst); break;
+        case 16: fwd_xform<16>(src, dst); break;
+        default: fwd_xform<32>(src, dst); break;
+    }
 }
 
 static void inverse_transform(i32 sz, const i32* src, i32* dst) {
-    const i32* M = MT.mat(sz);
-    i32 tmp[CTU * CTU];
-    matmul_rs<true, false, true>(sz, 7, M, src, tmp);         // M^T @ x
-    matmul_rs<false, false, true>(sz, 12, tmp, M, dst);       // @ M
+    switch (sz) {
+        case 4: inv_xform<4>(src, dst); break;
+        case 8: inv_xform<8>(src, dst); break;
+        case 16: inv_xform<16>(src, dst); break;
+        default: inv_xform<32>(src, dst); break;
+    }
 }
 
 // RD cost with int32 saturation (reference src/HEVCe.c:177-185)
@@ -737,22 +772,36 @@ static inline i32 rd_cost(i32 qpd6, i32 dist, i32 bits) {
     return (I32_MAX - c1 <= c2) ? I32_MAX : c1 + c2;
 }
 
-static i32 coeff_rate(i32 level) {
+static inline i32 coeff_rate_fast(i32 level) {
     static const i32 tab[6] = {0, 70000, 90000, 92000, 157536, 190304};
     if (level < 6) return tab[level];
-    level -= 6;
-    i32 i = 0;
-    while ((1 << i) <= level) { level -= 1 << i; i++; }
-    return 92000 + ((3 + i * 2 + 1) << 15);
+    i32 i = 31 - __builtin_clz((unsigned)(level - 6 + 1));  // floor(log2(v+1))
+    return 92000 + ((4 + 2 * i) << 15);
 }
 
-// simplified RDOQ (reference src/HEVCe.c:540-595); src/dst stride sz
-static void quantize(i32 qpd6, i32 sz, const i32* src, i32* dst) {
-    i32 dist_sft = sz == 4 ? 8 : sz == 8 ? 7 : sz == 16 ? 6 : 5;
-    i32 sft = (sz == 4 ? 19 : sz == 8 ? 18 : sz == 16 ? 17 : 16) + qpd6;
-    i32 add = 1 << sft >> 1;
-    i32 max_dl = I32_MAX - add;
-    i32 thr = 9 << sft >> 2;
+// simplified RDOQ (reference src/HEVCe.c:540-595); src/dst stride sz.
+// Straight-line 3-candidate selection with the reference's tie rule
+// (strict <, high level first) and per-CG kill rule.
+static void quantize(i32 qpd6, i32 sz, const i32* __restrict src, i32* __restrict dst) {
+    const i32 dist_sft = sz == 4 ? 8 : sz == 8 ? 7 : sz == 16 ? 6 : 5;
+    const i32 sft = (sz == 4 ? 19 : sz == 8 ? 18 : sz == 16 ? 17 : 16) + qpd6;
+    const i32 add = 1 << sft >> 1;
+    const i32 max_dl = I32_MAX - add;
+    const i32 thr = 9 << sft >> 2;
+    const i32 w1 = kWDist[qpd6], w2 = kWBits[qpd6];
+    const i32 t1 = I32_MAX / w1, t2 = I32_MAX / w2;
+
+    auto cost_of = [&](i32 dl, i32 lvl) -> i32 {
+        i32 d1 = dl - (lvl << sft);
+        d1 = d1 < 0 ? -d1 : d1;
+        d1 >>= dist_sft;
+        i32 d = ((d1 < 46340) ? d1 * d1 : I32_MAX) >> 7;
+        i32 r = coeff_rate_fast(lvl);
+        i32 c1 = (t1 <= d) ? I32_MAX : w1 * d;
+        i32 c2 = (t2 <= r) ? I32_MAX : w2 * r;
+        return (I32_MAX - c1 <= c2) ? I32_MAX : c1 + c2;
+    };
+
     for (i32 yc = 0; yc < sz; yc += 4)
         for (i32 xc = 0; xc < sz; xc += 4) {
             i32 cg_sum = 0;
@@ -760,20 +809,20 @@ static void quantize(i32 qpd6, i32 sz, const i32* src, i32* dst) {
                 for (i32 x = xc; x < xc + 4; x++) {
                     i32 v = src[y * sz + x];
                     i32 av = v < 0 ? -v : v;
-                    i32 dl = (av > 0x1ffff) ? max_dl
-                             : ((av & 0x1ffff) << 14) < max_dl ? ((av & 0x1ffff) << 14) : max_dl;
-                    i32 lvl = coefclip((dl + add) >> sft);
-                    i32 minl = lvl - 2 > 0 ? lvl - 2 : 0;
-                    i32 best_cost = I32_MAX;
-                    for (; lvl >= minl; lvl--) {
-                        i32 d1 = dl - (lvl << sft);
-                        if (d1 < 0) d1 = -d1;
-                        d1 >>= dist_sft;
-                        i32 d = ((d1 < 46340) ? d1 * d1 : I32_MAX) >> 7;
-                        i32 cost = rd_cost(qpd6, d, coeff_rate(lvl));
-                        if (cost < best_cost) { best_cost = cost; dst[y * sz + x] = lvl; }
+                    i32 dl0 = (av & 0x1ffff) << 14;
+                    i32 dl = (av > 0x1ffff || dl0 >= max_dl) ? max_dl : dl0;
+                    i32 l0 = coefclip((dl + add) >> sft);
+                    i32 bl = l0;
+                    i32 bc = cost_of(dl, l0);
+                    if (l0 >= 1) {
+                        i32 c = cost_of(dl, l0 - 1);
+                        if (c < bc) { bc = c; bl = l0 - 1; }
                     }
-                    if (v < 0) dst[y * sz + x] = -dst[y * sz + x];
+                    if (l0 >= 2) {
+                        i32 c = cost_of(dl, l0 - 2);
+                        if (c < bc) { bc = c; bl = l0 - 2; }
+                    }
+                    dst[y * sz + x] = v < 0 ? -bl : bl;
                     cg_sum += dl < thr ? dl : thr;
                 }
             if (cg_sum < thr)

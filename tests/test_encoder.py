@@ -1,0 +1,55 @@
+"""End-to-end encoder tests: Python arbiter + native C++ engine vs golden
+full-image streams from the reference oracle."""
+import numpy as np
+import pytest
+
+from hevce_tpu.runtime.native import encode_image_native
+
+
+def test_native_engine_all_golden_images(golden):
+    g = golden("images")
+    for t in range(int(g["n"])):
+        img = g[f"img_{t}"]
+        q = int(g[f"qpd6_{t}"])
+        stream, rcon = encode_image_native(img, q)
+        assert stream == bytes(g[f"stream_{t}"]), f"image {t} ({img.shape}, q{q})"
+        np.testing.assert_array_equal(rcon, g[f"rcon_{t}"], err_msg=f"image {t}")
+
+
+def test_python_encoder_one_golden_image(golden):
+    # full Python path (device kernels + Python arbiter) on one 32x32 image;
+    # the complete 25-image sweep is covered by the slow marker below
+    from hevce_tpu.models.encoder import encode_image
+    g = golden("images")
+    t = 2  # 32x32 @ qpd6=2
+    stream, rcon = encode_image(g[f"img_{t}"], int(g[f"qpd6_{t}"]))
+    assert stream == bytes(g[f"stream_{t}"])
+    np.testing.assert_array_equal(rcon, g[f"rcon_{t}"])
+
+
+@pytest.mark.slow
+def test_python_encoder_all_golden_images(golden):
+    from hevce_tpu.models.encoder import encode_image
+    g = golden("images")
+    for t in range(int(g["n"])):
+        stream, rcon = encode_image(g[f"img_{t}"], int(g[f"qpd6_{t}"]))
+        assert stream == bytes(g[f"stream_{t}"]), f"image {t}"
+        np.testing.assert_array_equal(rcon, g[f"rcon_{t}"])
+
+
+def test_engines_agree_on_random_image():
+    # cross-check the two implementations on an image with no golden stream
+    from hevce_tpu.models.encoder import encode_image
+    rng = np.random.default_rng(7)
+    img = (rng.integers(0, 256, (64, 64)).astype(np.uint8))
+    for q in (0, 4):
+        s_py, r_py = encode_image(img, q)
+        s_cc, r_cc = encode_image_native(img, q)
+        assert s_py == s_cc
+        np.testing.assert_array_equal(r_py, r_cc)
+
+
+def test_native_rejects_bad_args():
+    img = np.zeros((32, 32), np.uint8)
+    with pytest.raises(AssertionError):
+        encode_image_native(img, 5)
