@@ -16,8 +16,11 @@
 //  * next-state tables and scan orders are generated at startup, not embedded.
 //
 // Build: tools/build_native.py -> hevce_tpu/runtime/libhevce_host.so
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
+#include <thread>
 #include <vector>
 
 namespace hevce {
@@ -841,6 +844,8 @@ static void dequantize(i32 qpd6, i32 sz, const i32* src, i32* dst) {
 // validated Python arbiter, hevce_tpu/models/encoder.py)
 // ---------------------------------------------------------------------------
 
+struct MathProvider;
+
 struct EncState {
     i32 qpd6;
     i32 ysz0, xsz0;        // unpadded dims (original-pixel clamping)
@@ -853,6 +858,7 @@ struct EncState {
     CabacEnc enc;
     CtxSet ctxs;
     std::vector<u8> arena;   // shared byte arena (coder output since last drain)
+    MathProvider* mp = nullptr;
 
     // clamped reads
     inline u8 rc(i32 y, i32 x) const {
@@ -871,13 +877,42 @@ struct EncState {
 };
 
 struct NodeMath {
-    // all-35-mode candidates for one node, produced by the math engine
-    i32 quant[MODES][CTU * CTU];          // single-TU quantized levels
-    u8 recon[MODES][CTU * CTU];
+    // all-35-mode candidates for one node, COMPACT layout: mode stride is
+    // sz*sz (same layout the batched device path uses), not CTU*CTU.
+    i32 quant[MODES * CTU * CTU];          // [pm*sz*sz + i]
+    u8 recon[MODES * CTU * CTU];
     i32 sse[MODES];
-    i32 quant4[MODES][4][CTU * CTU / 4];  // four-TU quantized levels
-    u8 recon4[MODES][CTU * CTU];
+    i32 quant4[MODES * CTU * CTU];         // [pm*sz*sz + isub*h*h + i]
+    u8 recon4[MODES * CTU * CTU];
     i32 sse4[MODES];
+};
+
+// pointer view over one node's candidate math; the arbiter only reads through
+// this, so results may live in provider-local storage or in a shared batch
+// buffer filled by the TPU device engine.
+struct NodeMathRefs {
+    const i32* quant;   // [35][sz*sz]
+    const u8* recon;    // [35][sz*sz]
+    const i32* sse;     // [35]
+    const i32* quant4;  // [35][4][(sz/2)*(sz/2)]
+    const u8* recon4;   // [35][sz*sz]
+    const i32* sse4;    // [35]
+};
+
+struct PuMathRefs {
+    const i32* quant;   // [35][16]
+    const u8* recon;    // [35][16]
+    const i32* sse;     // [35]
+};
+
+struct MathProvider {
+    // all-35-mode candidates for a CU node (both TU layouts)
+    virtual NodeMathRefs node(EncState& st, i32 y, i32 x, i32 sz,
+                              bool bll, bool blb, bool baa, bool bar) = 0;
+    // all-35-mode 4x4 PU candidates (step-4 inner search)
+    virtual PuMathRefs pu(EncState& st, i32 py, i32 px,
+                          bool bll, bool blb, bool baa, bool bar) = 0;
+    virtual ~MathProvider() = default;
 };
 
 // border context slices for a node at (y, x) size sz
@@ -921,7 +956,7 @@ static i32 candidate(i32 qpd6, i32 sz, const Borders& B, i32 pmode, const u8* or
 }
 
 // host math engine: fills NodeMath for one node (the TPU device engine fills
-// the same structure on the batched path)
+// the same shapes on the batched path)
 static void node_math(EncState& st, i32 y, i32 x, i32 sz,
                       bool bll, bool blb, bool baa, bool bar, NodeMath& M) {
     i32 top[1 + 2 * CTU], left[2 * CTU];
@@ -933,14 +968,16 @@ static void node_math(EncState& st, i32 y, i32 x, i32 sz,
     Borders B;
     build_borders(sz, top, left, bll, blb, baa, bar, B);
     for (i32 pm = 0; pm < MODES; pm++)
-        M.sse[pm] = candidate(st.qpd6, sz, B, pm, orig, sz, M.quant[pm], M.recon[pm]);
+        M.sse[pm] = candidate(st.qpd6, sz, B, pm, orig, sz,
+                              M.quant + (size_t)pm * sz * sz,
+                              M.recon + (size_t)pm * sz * sz);
 
     // TU-split: per-mode chained sub-TUs over a per-mode canvas
     i32 h = sz / 2;
     bool sf[4][4];
     sub_flags(bll, blb, baa, bar, sf);
     for (i32 pm = 0; pm < MODES; pm++) {
-        u8* canvas = M.recon4[pm];  // (sz, sz), stride sz
+        u8* canvas = M.recon4 + (size_t)pm * sz * sz;  // (sz, sz), stride sz
         for (int isub = 0; isub < 4; isub++) {
             i32 oy = kSubOff[isub][0] * h, ox = kSubOff[isub][1] * h;
             i32 stop[1 + 2 * CTU], sleft[2 * CTU];
@@ -962,7 +999,8 @@ static void node_math(EncState& st, i32 y, i32 x, i32 sz,
             u8 sorig[CTU * CTU / 4];
             for (i32 i = 0; i < h; i++)
                 for (i32 j = 0; j < h; j++) sorig[i * h + j] = orig[(oy + i) * sz + ox + j];
-            candidate(st.qpd6, h, SB, pm, sorig, h, M.quant4[pm][isub], srecon);
+            candidate(st.qpd6, h, SB, pm, sorig, h,
+                      M.quant4 + (size_t)pm * sz * sz + isub * h * h, srecon);
             for (i32 i = 0; i < h; i++)
                 for (i32 j = 0; j < h; j++) canvas[(oy + i) * sz + ox + j] = srecon[i * h + j];
         }
@@ -980,6 +1018,32 @@ static inline i32 dist_floor(i32 qpd6, i32 dist) {
     i32 w1 = kWDist[qpd6];
     return (I32_MAX / w1 <= dist) ? I32_MAX : w1 * dist;
 }
+
+// default provider: computes candidates on the host CPU
+struct LocalMathProvider final : MathProvider {
+    NodeMathRefs node(EncState& st, i32 y, i32 x, i32 sz,
+                      bool bll, bool blb, bool baa, bool bar) override {
+        static thread_local NodeMath M;
+        node_math(st, y, x, sz, bll, blb, baa, bar, M);
+        return {M.quant, M.recon, M.sse, M.quant4, M.recon4, M.sse4};
+    }
+    PuMathRefs pu(EncState& st, i32 py, i32 px,
+                  bool bll, bool blb, bool baa, bool bar) override {
+        static thread_local i32 q[MODES][16];
+        static thread_local u8 r[MODES][16];
+        static thread_local i32 s[MODES];
+        i32 top[1 + 2 * CTU], left[2 * CTU];
+        ctx_slices(st, py, px, 4, top, left);
+        Borders B;
+        build_borders(4, top, left, bll, blb, baa, bar, B);
+        u8 sorig[16];
+        for (i32 i = 0; i < 4; i++)
+            for (i32 j = 0; j < 4; j++) sorig[i * 4 + j] = st.og(py + i, px + j);
+        for (i32 pm = 0; pm < MODES; pm++)
+            s[pm] = candidate(st.qpd6, 4, B, pm, sorig, 4, q[pm], r[pm]);
+        return {&q[0][0], &r[0][0], s};
+    }
+};
 
 static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
                        bool bll, bool blb, bool baa, bool bar) {
@@ -1041,8 +1105,8 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
     }
 
     // ---- math for steps 2+3 (device engine on the batched path) ----
-    static thread_local NodeMath M;
-    node_math(st, y, x, sz, bll, blb, baa, bar, M);
+    const NodeMathRefs M = st.mp->node(st, y, x, sz, bll, blb, baa, bar);
+    const i32 nn = sz * sz, hh = nn / 4;
 
     // ---- step 2: 2Nx2N single TU ----
     for (i32 pm = 0; pm < MODES; pm++) {
@@ -1050,11 +1114,11 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
         st.enc = o_enc;
         st.ctxs = o_ctxs;
         put_split_cu(st.enc, st.ctxs, sz, 0, gl, ga);
-        put_cu_2nx2n(st.enc, st.ctxs, sz, pm, pml, pma, M.quant[pm]);
+        put_cu_2nx2n(st.enc, st.ctxs, sz, pm, pml, pma, M.quant + pm * nn);
         i32 cost = rd_cost(q, M.sse[pm], (i32)(st.enc.bit_len() - o_len));
         if (best >= cost) {
             best = cost;
-            std::memcpy(best_rcon, M.recon[pm], (size_t)sz * sz);
+            std::memcpy(best_rcon, M.recon + pm * nn, (size_t)sz * sz);
             best_bytes.assign(st.arena.begin() + o_arena, st.arena.end());
             best_enc = st.enc;
             best_ctxs = st.ctxs;
@@ -1073,13 +1137,13 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
         st.enc = o_enc;
         st.ctxs = o_ctxs;
         put_split_cu(st.enc, st.ctxs, sz, 0, gl, ga);
-        const i32* subs[4] = {M.quant4[pm][0], M.quant4[pm][1], M.quant4[pm][2],
-                              M.quant4[pm][3]};
+        const i32* q4pm = M.quant4 + (size_t)pm * 4 * hh;
+        const i32* subs[4] = {q4pm, q4pm + hh, q4pm + 2 * hh, q4pm + 3 * hh};
         put_cu_tusplit(st.enc, st.ctxs, sz, pm, pml, pma, subs);
         i32 cost = rd_cost(q, M.sse4[pm], (i32)(st.enc.bit_len() - o_len));
         if (best >= cost) {
             best = cost;
-            std::memcpy(best_rcon, M.recon4[pm], (size_t)sz * sz);
+            std::memcpy(best_rcon, M.recon4 + pm * nn, (size_t)sz * sz);
             best_bytes.assign(st.arena.begin() + o_arena, st.arena.end());
             best_enc = st.enc;
             best_ctxs = st.ctxs;
@@ -1101,34 +1165,28 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
         static thread_local i32 sub_q[4][16];
         for (int isub = 0; isub < 4; isub++) {
             i32 py = y + kSubOff[isub][0] * h, px = x + kSubOff[isub][1] * h;
-            i32 top[1 + 2 * CTU], left[2 * CTU];
-            ctx_slices(st, py, px, h, top, left);
-            Borders B;
-            build_borders(h, top, left, sf[isub][0], sf[isub][1], sf[isub][2], sf[isub][3], B);
-            u8 sorig[16];
-            for (i32 i = 0; i < h; i++)
-                for (i32 j = 0; j < h; j++) sorig[i * h + j] = st.og(py + i, px + j);
+            const PuMathRefs P = st.mp->pu(st, py, px, sf[isub][0], sf[isub][1],
+                                           sf[isub][2], sf[isub][3]);
             i32 sub_best = I32_MAX;
             // fresh-coder rate approximation per candidate (src/HEVCe.c:1505-1519)
             std::vector<u8> scratch_arena;
             for (i32 pm = 0; pm < MODES; pm++) {
-                i32 qq[16];
-                u8 rr[16];
-                i32 sse = candidate(q, h, B, pm, sorig, h, qq, rr);
+                i32 sse = P.sse[pm];
                 if (dist_floor(q, sse) > sub_best) continue;
                 scratch_arena.clear();
                 CabacEnc ne;
                 ne.arena = &scratch_arena;
                 CtxSet nc;
                 nc.init(q);
-                put_coef(ne, nc, h, false, pm, qq);
+                put_coef(ne, nc, h, false, pm, P.quant + pm * 16);
                 i32 cost = rd_cost(q, sse, (i32)ne.bit_len());
                 if (sub_best >= cost) {
                     sub_best = cost;
                     sub_pm[isub] = pm;
-                    std::memcpy(sub_q[isub], qq, sizeof qq);
+                    std::memcpy(sub_q[isub], P.quant + pm * 16, 16 * sizeof(i32));
                     for (i32 i = 0; i < h; i++)
-                        std::memcpy(&st.rcon[(size_t)(py + i) * st.xszn + px], rr + i * h, h);
+                        std::memcpy(&st.rcon[(size_t)(py + i) * st.xszn + px],
+                                    P.recon + pm * 16 + i * h, h);
                 }
             }
         }
@@ -1211,8 +1269,11 @@ static void write_headers(std::vector<u8>& out, i32 qpd6, i32 ysz, i32 xsz) {
     out.insert(out.end(), slice[qpd6], slice[qpd6] + 8);
 }
 
-static i64 encode(const u8* img, i32* ysz, i32* xsz, i32 qpd6, u8* stream, u8* rcon_out) {
+static i64 encode(const u8* img, i32* ysz, i32* xsz, i32 qpd6, u8* stream, u8* rcon_out,
+                  MathProvider* mp = nullptr) {
+    LocalMathProvider local;
     EncState st;
+    st.mp = mp ? mp : &local;
     st.qpd6 = qpd6;
     st.ysz0 = *ysz < 8192 ? *ysz : 8192;
     st.xsz0 = *xsz < 8192 ? *xsz : 8192;
@@ -1256,6 +1317,143 @@ static i64 encode(const u8* img, i32* ysz, i32* xsz, i32 qpd6, u8* stream, u8* r
     return (i64)out.size();
 }
 
+// ---------------------------------------------------------------------------
+// lockstep batch engine: B same-sized images encoded by B worker threads whose
+// math requests rendezvous into one device batch per schedule event. The CU
+// search schedule is content-independent (SURVEY.md §3: the same 21-node tree
+// + 4 PU searches per 8x8 runs for every CTU), so all workers request the same
+// (kind, size) at every step; the Python driver runs one jitted TPU step per
+// event and writes results straight into the shared buffers.
+// ---------------------------------------------------------------------------
+
+struct BatchEngine {
+    i32 B, qpd6, ysz, xsz, yszn, xszn;
+    const u8* imgs;  // B contiguous (ysz, xsz) images
+
+    // request buffers (slot-strided, max-size rows)
+    std::vector<i32> req_top;    // B x 65
+    std::vector<i32> req_left;   // B x 64
+    std::vector<u8> req_flags;   // B x 4
+    std::vector<i32> req_orig;   // B x 1024
+    i32 ev_kind = -1, ev_sz = 0;  // 0=node, 1=pu, 2=done
+
+    // result buffers (compact per event: (B, 35, sz*sz) etc.)
+    std::vector<i32> res_quant, res_sse, res_quant4, res_sse4;
+    std::vector<u8> res_recon, res_recon4;
+
+    std::mutex m;
+    std::condition_variable cv_master, cv_workers;
+    i32 arrived = 0, alive = 0;
+    uint64_t generation = 0;
+
+    std::vector<std::vector<u8>> streams, rcons;
+    std::vector<std::thread> threads;
+
+    BatchEngine(const u8* imgs_, i32 B_, i32 ysz_, i32 xsz_, i32 qpd6_)
+        : B(B_), qpd6(qpd6_), ysz(ysz_), xsz(xsz_), imgs(imgs_) {
+        yszn = (ysz + CTU - 1) / CTU * CTU;
+        xszn = (xsz + CTU - 1) / CTU * CTU;
+        req_top.resize((size_t)B * 65);
+        req_left.resize((size_t)B * 64);
+        req_flags.resize((size_t)B * 4);
+        req_orig.resize((size_t)B * CTU * CTU);
+        res_quant.resize((size_t)B * MODES * CTU * CTU);
+        res_recon.resize((size_t)B * MODES * CTU * CTU);
+        res_sse.resize((size_t)B * MODES);
+        res_quant4.resize((size_t)B * MODES * CTU * CTU);
+        res_recon4.resize((size_t)B * MODES * CTU * CTU);
+        res_sse4.resize((size_t)B * MODES);
+        streams.resize(B);
+        rcons.resize(B);
+        alive = B;
+    }
+
+    // worker side: slot request filled; wait for device results
+    void rendezvous(i32 kind, i32 sz) {
+        std::unique_lock<std::mutex> lk(m);
+        if (arrived == 0) { ev_kind = kind; ev_sz = sz; }
+        arrived++;
+        uint64_t gen = generation;
+        if (arrived == alive) cv_master.notify_one();
+        cv_workers.wait(lk, [&] { return generation != gen; });
+    }
+
+    void worker_done() {
+        std::unique_lock<std::mutex> lk(m);
+        alive--;
+        if (alive == 0 || arrived == alive) cv_master.notify_one();
+    }
+
+    // master side
+    int next(int* sz_out) {
+        std::unique_lock<std::mutex> lk(m);
+        cv_master.wait(lk, [&] { return alive == 0 || (alive > 0 && arrived == alive); });
+        if (alive == 0) return 2;
+        *sz_out = ev_sz;
+        return ev_kind;
+    }
+
+    void supply() {
+        std::unique_lock<std::mutex> lk(m);
+        arrived = 0;
+        generation++;
+        cv_workers.notify_all();
+    }
+};
+
+struct BatchMathProvider final : MathProvider {
+    BatchEngine* be;
+    i32 slot;
+    BatchMathProvider(BatchEngine* b, i32 s) : be(b), slot(s) {}
+
+    void fill_request(EncState& st, i32 y, i32 x, i32 sz,
+                      bool bll, bool blb, bool baa, bool bar) {
+        i32* top = be->req_top.data() + (size_t)slot * 65;
+        i32* left = be->req_left.data() + (size_t)slot * 64;
+        ctx_slices(st, y, x, sz, top, left);
+        u8* fl = be->req_flags.data() + (size_t)slot * 4;
+        fl[0] = bll; fl[1] = blb; fl[2] = baa; fl[3] = bar;
+        i32* orig = be->req_orig.data() + (size_t)slot * CTU * CTU;
+        for (i32 i = 0; i < sz; i++)
+            for (i32 j = 0; j < sz; j++) orig[i * sz + j] = st.og(y + i, x + j);
+    }
+
+    NodeMathRefs node(EncState& st, i32 y, i32 x, i32 sz,
+                      bool bll, bool blb, bool baa, bool bar) override {
+        fill_request(st, y, x, sz, bll, blb, baa, bar);
+        be->rendezvous(0, sz);
+        size_t nn = (size_t)sz * sz;
+        return {be->res_quant.data() + slot * MODES * nn,
+                be->res_recon.data() + slot * MODES * nn,
+                be->res_sse.data() + (size_t)slot * MODES,
+                be->res_quant4.data() + slot * MODES * nn,
+                be->res_recon4.data() + slot * MODES * nn,
+                be->res_sse4.data() + (size_t)slot * MODES};
+    }
+
+    PuMathRefs pu(EncState& st, i32 py, i32 px,
+                  bool bll, bool blb, bool baa, bool bar) override {
+        fill_request(st, py, px, 4, bll, blb, baa, bar);
+        be->rendezvous(1, 4);
+        return {be->res_quant.data() + (size_t)slot * MODES * 16,
+                be->res_recon.data() + (size_t)slot * MODES * 16,
+                be->res_sse.data() + (size_t)slot * MODES};
+    }
+};
+
+static void batch_worker(BatchEngine* be, i32 slot) {
+    BatchMathProvider mp(be, slot);
+    i32 y = be->ysz, x = be->xsz;
+    std::vector<u8> stream((size_t)be->yszn * be->xszn + (1 << 16));
+    std::vector<u8> rcon((size_t)be->yszn * be->xszn);
+    i64 n = encode(be->imgs + (size_t)slot * be->ysz * be->xsz, &y, &x, be->qpd6,
+                   stream.data(), rcon.data(), &mp);
+    stream.resize((size_t)n);
+    be->streams[slot] = std::move(stream);
+    be->rcons[slot] = std::move(rcon);
+    be->worker_done();
+}
+
 }  // namespace hevce
 
 // ---------------------------------------------------------------------------
@@ -1272,4 +1470,64 @@ long long hevce_encode(const uint8_t* img, int* ysz, int* xsz, int qpd6,
 }
 
 int hevce_version() { return 10; }
+
+// --- lockstep batch API -----------------------------------------------------
+
+void* hevce_batch_create(const uint8_t* imgs, int B, int ysz, int xsz, int qpd6) {
+    if (B <= 0 || qpd6 < 0 || qpd6 > 4 || ysz <= 0 || xsz <= 0) return nullptr;
+    auto* be = new hevce::BatchEngine(imgs, B, ysz, xsz, qpd6);
+    for (int s = 0; s < B; s++)
+        be->threads.emplace_back(hevce::batch_worker, be, s);
+    return be;
+}
+
+// blocks until all workers request math (or all finished).
+// returns 0 (node event), 1 (pu event), 2 (done); *sz_out = CU size.
+int hevce_batch_next(void* h, int* sz_out) {
+    return static_cast<hevce::BatchEngine*>(h)->next(sz_out);
+}
+
+// resume workers after results were written into the result buffers
+void hevce_batch_supply(void* h) {
+    static_cast<hevce::BatchEngine*>(h)->supply();
+}
+
+// shared buffer base pointers: 0 req_top(i32 Bx65), 1 req_left(i32 Bx64),
+// 2 req_flags(u8 Bx4), 3 req_orig(i32 Bx1024), 4 res_quant(i32 Bx35x1024),
+// 5 res_recon(u8 Bx35x1024), 6 res_sse(i32 Bx35), 7 res_quant4(i32 Bx35x1024),
+// 8 res_recon4(u8 Bx35x1024), 9 res_sse4(i32 Bx35)
+void* hevce_batch_buf(void* h, int which) {
+    auto* be = static_cast<hevce::BatchEngine*>(h);
+    switch (which) {
+        case 0: return be->req_top.data();
+        case 1: return be->req_left.data();
+        case 2: return be->req_flags.data();
+        case 3: return be->req_orig.data();
+        case 4: return be->res_quant.data();
+        case 5: return be->res_recon.data();
+        case 6: return be->res_sse.data();
+        case 7: return be->res_quant4.data();
+        case 8: return be->res_recon4.data();
+        case 9: return be->res_sse4.data();
+        default: return nullptr;
+    }
+}
+
+long long hevce_batch_stream(void* h, int slot, uint8_t* out) {
+    auto* be = static_cast<hevce::BatchEngine*>(h);
+    auto& s = be->streams[slot];
+    if (out) std::memcpy(out, s.data(), s.size());
+    return (long long)s.size();
+}
+
+void hevce_batch_rcon(void* h, int slot, uint8_t* out) {
+    auto* be = static_cast<hevce::BatchEngine*>(h);
+    std::memcpy(out, be->rcons[slot].data(), be->rcons[slot].size());
+}
+
+void hevce_batch_destroy(void* h) {
+    auto* be = static_cast<hevce::BatchEngine*>(h);
+    for (auto& t : be->threads) t.join();
+    delete be;
+}
 }

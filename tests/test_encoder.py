@@ -53,3 +53,27 @@ def test_native_rejects_bad_args():
     img = np.zeros((32, 32), np.uint8)
     with pytest.raises(AssertionError):
         encode_image_native(img, 5)
+
+
+def test_native_engine_noise_images(golden):
+    # pure-noise images at low qpd6 stress large-coefficient / escape paths
+    # (regression: a compact-vs-padded candidate-layout bug was invisible on
+    #  natural images)
+    g = golden("noise")
+    for t in range(int(g["n"])):
+        stream, _ = encode_image_native(g[f"img_{t}"], int(g[f"qpd6_{t}"]))
+        assert stream == bytes(g[f"stream_{t}"]), f"noise case {t}"
+
+
+def test_lockstep_batch_matches_sequential(golden):
+    from hevce_tpu.parallel.lockstep import encode_batch
+    g = golden("images")
+    img2 = g["img_2"]
+    rng = np.random.default_rng(3)
+    other = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    s2, r2 = encode_image_native(img2, 2)
+    so, ro = encode_image_native(other, 2)
+    streams, rcons = encode_batch([img2, other, other], 2)
+    assert streams[0] == s2 and streams[1] == so and streams[2] == so
+    np.testing.assert_array_equal(rcons[0], r2)
+    np.testing.assert_array_equal(rcons[1], ro)

@@ -16,7 +16,7 @@ OUT = ROOT / "hevce_tpu" / "runtime" / "libhevce_host.so"
 def build(debug=False):
     OUT.parent.mkdir(parents=True, exist_ok=True)
     flags = ["-O0", "-g"] if debug else ["-O3", "-march=native", "-funroll-loops"]
-    cmd = ["g++", "-std=c++17", "-shared", "-fPIC", "-Wall", "-Wextra",
+    cmd = ["g++", "-std=c++17", "-shared", "-fPIC", "-pthread", "-Wall", "-Wextra",
            "-Wno-unused-parameter", *flags, str(SRC), "-o", str(OUT)]
     print(" ".join(cmd))
     subprocess.run(cmd, check=True)
