@@ -1,0 +1,217 @@
+"""Device-side exact CABAC rate simulation (ROADMAP.md Phase B).
+
+Simulates the reference arithmetic coder (reference src/HEVCe.c:791-933)
+for MANY independent candidates at once: lanes = candidates, a `lax.scan`
+advances every lane by one bin per step. State per lane is 7 int32 scalars +
+the 142-entry context vector; the byte sink is simulated by COUNTING bytes
+(including start-code emulation 0x03 insertions) without materializing them,
+which is all `CABAClen` needs (src/HEVCe.c:835-837).
+
+Two exactness notes:
+  * bypass runs are expanded to one bin per step. This changes *when* the
+    low-register refill fires relative to the reference's <=8-bin chunks, but
+    refills always extract the same 8-bit groups in the same order, so total
+    bit length 8*(nbytes+outstanding)+23-nbits and the context evolution are
+    invariant; only transient (low, nbits) bookkeeping differs. RD decisions
+    use length deltas only, and winners are re-encoded by the host packer.
+  * emulation-prevention byte counting over a run of k identical carry-fill
+    bytes uses a closed form of the zero-run automaton (z in {0,1,2}).
+
+Op encoding (int32): kind | ctx_idx << 2 | bin << 10
+  kind: 0 = context-coded bin, 1 = bypass bin, 2 = terminate bin, 3 = nop.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hevce_tpu.bitstream import cabac as cb
+
+KIND_CTX, KIND_BYPASS, KIND_TERM, KIND_NOP = 0, 1, 2, 3
+
+_LPS_FLAT = jnp.asarray(cb.LPS_TABLE.reshape(-1), jnp.int32)        # (256,)
+_RENORM = jnp.asarray(cb.RENORM_TABLE, jnp.int32)                   # (32,)
+_NEXT_MPS = jnp.asarray(cb.NEXT_STATE_MPS.astype(np.int32))         # (128,)
+_NEXT_LPS = jnp.asarray(cb.NEXT_STATE_LPS.astype(np.int32))         # (128,)
+
+
+def pack_op(kind, ctx_idx=0, binval=0):
+    return kind | (ctx_idx << 2) | (binval << 10)
+
+
+def initial_state(lanes: int, qpd6: int):
+    """fresh coder + contexts per lane (src/HEVCe.c:809-812, :762-785)."""
+    ctxs = jnp.tile(jnp.asarray(
+        np.frombuffer(bytes(cb.new_context_set(qpd6)), np.uint8).astype(np.int32)),
+        (lanes, 1))
+    z = jnp.zeros((lanes,), jnp.int32)
+    return dict(rng=z + 510, low=z, nbits=z + 23, outstanding=z,
+                bufbyte=z + 0xFF, zrun=z, nbytes=z, ctxs=ctxs)
+
+
+def bit_len(state):
+    """exact fractional bit count (src/HEVCe.c:835-837)."""
+    return 8 * (state["nbytes"] + state["outstanding"]) + 23 - state["nbits"]
+
+
+def _emit_run(nbytes, zrun, byte, k):
+    """count k emitted copies of `byte` through the emulation-prevention sink
+    (src/HEVCe.c:821-832); returns (nbytes', zrun'). k >= 0 per lane."""
+    is_zero = byte == 0
+    small = byte <= 3
+    has = k > 0
+    # single-insert case (nonzero byte <= 3): one 0x03 iff zrun >= 2
+    ins_nonzero = jnp.where(has & small & ~is_zero & (zrun >= 2), 1, 0)
+    # zero-byte run: automaton z in {0,1,2}: pre-state 2 -> insert, z<-1; else z+1
+    first = jnp.where(zrun >= 2, 1, 3 - zrun)          # byte index of 1st insert
+    ins_zero = jnp.where(k >= first, 1 + (k - first) // 2, 0)
+    zrun_zero = jnp.where(ins_zero > 0,
+                          1 + ((k - first) % 2),
+                          zrun + k)
+    inserts = jnp.where(is_zero, ins_zero, ins_nonzero)
+    nbytes2 = nbytes + k + jnp.where(has, inserts, 0)
+    zrun2 = jnp.where(has, jnp.where(is_zero, zrun_zero, 0), zrun)
+    return nbytes2, zrun2
+
+
+def _refill(rng, low, nbits, outstanding, bufbyte, zrun, nbytes):
+    """carry resolution + byte extraction (src/HEVCe.c:859-879), vectorized."""
+    need = nbits < 12
+    sh = jnp.clip(24 - nbits, 0, 31)
+    lead = low >> sh
+    nbits2 = jnp.where(need, nbits + 8, nbits)
+    mask = (jnp.int32(1) << jnp.clip(32 - nbits2, 0, 31)) - 1
+    low2 = jnp.where(need, low & mask, low)
+
+    is_ff = lead == 0xFF
+    flush = need & ~is_ff & (outstanding > 0)
+    fresh = need & ~is_ff & (outstanding == 0)
+
+    carry = lead >> 8
+    b1 = (bufbyte + carry) & 0xFF
+    fill = (0xFF + carry) & 0xFF
+    # emit b1 then (outstanding-1) copies of fill, only on flush lanes
+    n_a, z_a = _emit_run(nbytes, zrun, b1, jnp.where(flush, 1, 0))
+    n_b, z_b = _emit_run(n_a, z_a, fill, jnp.where(flush, outstanding - 1, 0))
+
+    nbytes2 = n_b
+    zrun2 = z_b
+    outstanding2 = jnp.where(need & is_ff, outstanding + 1,
+                             jnp.where(flush | fresh, 1, outstanding))
+    bufbyte2 = jnp.where(flush | fresh, lead & 0xFF, bufbyte)
+    return rng, low2, nbits2, outstanding2, bufbyte2, zrun2, nbytes2
+
+
+def _step(state, op):
+    rng, low, nbits = state["rng"], state["low"], state["nbits"]
+    outstanding, bufbyte = state["outstanding"], state["bufbyte"]
+    zrun, nbytes, ctxs = state["zrun"], state["nbytes"], state["ctxs"]
+
+    kind = op & 3
+    cidx = (op >> 2) & 0xFF
+    b = (op >> 10) & 1
+    is_ctx = kind == KIND_CTX
+    is_byp = kind == KIND_BYPASS
+    is_term = kind == KIND_TERM
+    active = kind != KIND_NOP
+
+    # --- context-coded bin (src/HEVCe.c:914-933)
+    v = jnp.take_along_axis(ctxs, cidx[:, None], axis=1)[:, 0]
+    lps = jnp.take(_LPS_FLAT, (v >> 1) * 4 + ((rng >> 6) & 3))
+    r1 = rng - lps
+    is_lps = b != (v & 1)
+    nbit = jnp.take(_RENORM, lps >> 3)
+    mps_renorm = r1 < 256
+    ctx_low = jnp.where(is_lps, (low + r1) << nbit,
+                        jnp.where(mps_renorm, low << 1, low))
+    ctx_rng = jnp.where(is_lps, lps << nbit,
+                        jnp.where(mps_renorm, r1 << 1, r1))
+    ctx_nbits = nbits - jnp.where(is_lps, nbit,
+                                  jnp.where(mps_renorm, 1, 0))
+    newv = jnp.where(is_lps, jnp.take(_NEXT_LPS, v), jnp.take(_NEXT_MPS, v))
+
+    # --- bypass bin (src/HEVCe.c:899-911, per-bit expansion)
+    byp_low = (low << 1) + rng * b
+    byp_nbits = nbits - 1
+
+    # --- terminate bin (src/HEVCe.c:882-896)
+    r2 = rng - 2
+    term_renorm = (r2 < 256) & (b == 0)
+    term_low = jnp.where(b == 1, (low + r2) << 7,
+                         jnp.where(term_renorm, low << 1, low))
+    term_rng = jnp.where(b == 1, 2 << 7,
+                         jnp.where(term_renorm, r2 << 1, r2))
+    term_nbits = nbits - jnp.where(b == 1, 7, jnp.where(term_renorm, 1, 0))
+
+    low2 = jnp.where(is_ctx, ctx_low, jnp.where(is_byp, byp_low,
+                     jnp.where(is_term, term_low, low)))
+    rng2 = jnp.where(is_ctx, ctx_rng, jnp.where(is_term, term_rng, rng))
+    nbits2 = jnp.where(is_ctx, ctx_nbits, jnp.where(is_byp, byp_nbits,
+                       jnp.where(is_term, term_nbits, nbits)))
+    ctxs2 = jnp.where(
+        is_ctx[:, None],
+        ctxs.at[jnp.arange(ctxs.shape[0]), cidx].set(jnp.where(is_ctx, newv, v)),
+        ctxs)
+
+    # inactive lanes keep everything
+    low2 = jnp.where(active, low2, low)
+    rng2 = jnp.where(active, rng2, rng)
+    nbits2 = jnp.where(active, nbits2, nbits)
+
+    rng3, low3, nbits3, outstanding2, bufbyte2, zrun2, nbytes2 = _refill(
+        rng2, low2, nbits2, outstanding, bufbyte, zrun, nbytes)
+    # refill is a no-op for inactive lanes by construction (nbits unchanged and
+    # >= 12 between ops... except when a lane finished below 12; guard:)
+    outstanding2 = jnp.where(active, outstanding2, outstanding)
+    bufbyte2 = jnp.where(active, bufbyte2, bufbyte)
+    zrun2 = jnp.where(active, zrun2, zrun)
+    nbytes2 = jnp.where(active, nbytes2, nbytes)
+    nbits3 = jnp.where(active, nbits3, nbits)
+    low3 = jnp.where(active, low3, low)
+
+    return dict(rng=rng3, low=low3, nbits=nbits3, outstanding=outstanding2,
+                bufbyte=bufbyte2, zrun=zrun2, nbytes=nbytes2, ctxs=ctxs2), None
+
+
+@jax.jit
+def simulate(state, ops):
+    """Advance all lanes through their op strings.
+
+    state: dict from initial_state() (lanes,)/(lanes,142)
+    ops: (lanes, L) int32 packed ops, nop-padded.
+    Returns final state; bit_len(final) - bit_len(initial) is each lane's
+    exact rate in 1/1 bits (the reference CABAClen unit).
+    """
+    final, _ = jax.lax.scan(_step, state, jnp.swapaxes(ops, 0, 1))
+    return final
+
+
+class OpRecorder:
+    """Drop-in 'encoder' for the syntax writers that records packed ops
+    instead of doing arithmetic coding — used to build device op strings."""
+
+    def __init__(self):
+        self.ops = []
+
+    def encode_bin(self, ctxs, idx, binval):
+        # context values evolve on device; the recorder only notes the index.
+        self.ops.append(pack_op(KIND_CTX, idx, int(bool(binval))))
+
+    def encode_bypass(self, bins, length):
+        bins &= (1 << length) - 1
+        for i in range(length - 1, -1, -1):
+            self.ops.append(pack_op(KIND_BYPASS, 0, (bins >> i) & 1))
+
+    def encode_terminate(self, binval):
+        self.ops.append(pack_op(KIND_TERM, 0, int(bool(binval))))
+
+
+def record_put_coef(sz, pmode, blk):
+    """Op string for a fresh-coder putCoef rate (reference src/HEVCe.c:1505-1519
+    uses exactly this as the step-4 PU rate)."""
+    from hevce_tpu.bitstream import syntax
+    rec = OpRecorder()
+    # context VALUES are irrelevant to op recording, but the syntax writer
+    # branches only on data, never on context state, so a dummy array works.
+    dummy = bytearray(142)
+    syntax.put_coef(rec, dummy, sz, False, pmode, blk)
+    return rec.ops
