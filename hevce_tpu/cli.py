@@ -43,7 +43,11 @@ def main(argv=None):
     from hevce_tpu.utils.imageio import to_grayscale, write_pgm
     from hevce_tpu.utils.metrics import mse_psnr
 
-    img = to_grayscale(src)
+    try:
+        img = to_grayscale(src)
+    except (OSError, ValueError) as e:
+        print(f"error: cannot read input image '{src}': {e}")
+        return 1
     print(f"  input           : {src} ({img.shape[1]}x{img.shape[0]})")
     print(f"  qpd6            : {qpd6}  (QP = {6 * qpd6 + 4})")
     print(f"  engine          : {engine}")
