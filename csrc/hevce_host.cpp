@@ -178,7 +178,7 @@ struct CabacEnc {
         }
     }
 
-    void bin(u8* ctx, i32 b) {
+    __attribute__((always_inline)) inline void bin(u8* ctx, i32 b) {
         u8 v = *ctx;
         i32 lps = kLpsTable[v >> 1][(range >> 6) & 3];
         range -= lps;
@@ -195,7 +195,7 @@ struct CabacEnc {
         refill();
     }
 
-    void bypass(i32 bins, i32 len) {
+    __attribute__((always_inline)) inline void bypass(i32 bins, i32 len) {
         bins &= (1 << len) - 1;
         while (len > 0) {
             i32 cur = len < 8 ? len : 8;
