@@ -1,0 +1,361 @@
+"""Device-side residual-coding op-string generation (ROADMAP Phase B, part 2).
+
+Turns quantized TU blocks into the exact CABAC op strings that putCoef
+(reference src/HEVCe.c:1173-1269) would encode, entirely as tensor ops:
+combined with ops/cabac_sim.py this computes exact rates for thousands of
+candidates with no host work.
+
+Strategy: emit ops into a fixed "mega layout" with validity masks — a 40-slot
+last-significant segment followed by one fixed-size segment per coefficient
+group in reverse scan order — then compact valid ops to the front with a
+prefix-sum scatter. All sequential dependencies (c1 context chain across CGs,
+Golomb-Rice rparam within a CG) have closed forms or tiny static loops.
+
+Layout per CG (reverse scan order): [cg_sig 1][sig 16][gt1 8][gt2 1][sign 16]
+[escape 16 x E]. E = 34 covers the worst escape (value 32767, rparam 0).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hevce_tpu.bitstream import cabac as cb
+from hevce_tpu.bitstream import syntax as syn
+from hevce_tpu.ops import cabac_sim as sim
+
+E_ESC = 34                     # max Golomb-Rice bins per escaped coefficient
+CG_SEG = 1 + 16 + 8 + 1 + 16 + 16 * E_ESC
+LAST_SEG = 40
+
+
+def _pack(kind, ctx, binv):
+    return kind | (ctx << 2) | (binv << 10)
+
+
+@functools.lru_cache(maxsize=None)
+def _tables(sz: int):
+    """static per-size tables for all three scan types.
+
+    Returns dict of numpy arrays indexed [scan_type(3)][...]:
+      pos:    (3, n) flat pixel index per scan index
+      ypos/xpos: (3, n) coordinates
+      sig_base:(3, 16) sig ctx index for positions in a NON-first CG given
+               sig_ctx in 0..3  -> shaped (3, 4, 16)
+      sig_first:(3, 4, 16) same for the first CG
+      cg_right/cg_below: (3, ncg2) CG scan index of spatial right/below
+               neighbor, -1 if outside
+      gmax, group_idx, min_in_group, last addr/sft constants
+    """
+    n = sz * sz
+    ncg = sz // 4
+    ncg2 = ncg * ncg
+    pos = np.zeros((3, n), np.int32)
+    ypos = np.zeros((3, n), np.int32)
+    xpos = np.zeros((3, n), np.int32)
+    sig_idx = np.zeros((3, 4, n), np.int32)   # per scan pos, per sig_ctx value
+    cg_right = np.full((3, ncg2), -1, np.int32)
+    cg_below = np.full((3, ncg2), -1, np.int32)
+    for st in range(3):
+        if st != syn.SCAN_DIAG and sz > 8:
+            continue
+        tab = syn.scan_table(sz, st)
+        pos[st] = tab[:, 0] * sz + tab[:, 1]
+        ypos[st] = tab[:, 0]
+        xpos[st] = tab[:, 1]
+        # CG spatial -> scan index map
+        cg_of_scan = {}
+        for g in range(ncg2):
+            y, x = tab[g * 16, 0] // 4, tab[g * 16, 1] // 4
+            cg_of_scan[(y, x)] = g
+        for g in range(ncg2):
+            y, x = tab[g * 16, 0] // 4, tab[g * 16, 1] // 4
+            if x + 1 < ncg:
+                cg_right[st, g] = cg_of_scan[(y, x + 1)]
+            if y + 1 < ncg:
+                cg_below[st, g] = cg_of_scan[(y + 1, x)]
+        for i in range(n):
+            y, x = int(tab[i, 0]), int(tab[i, 1])
+            for sc in range(4):
+                sig_idx[st, sc, i] = syn.sig_ctx_idx(sz, False, st, y, x, sc)
+    return dict(pos=pos, ypos=ypos, xpos=xpos, sig_idx=sig_idx,
+                cg_right=cg_right, cg_below=cg_below)
+
+
+def _last_xy_ops(sz, st, y, x):
+    """last-significant-XY segment ops (LAST_SEG slots) + valid mask.
+
+    y/x/st: (lanes,). Mirrors put_last_significant_xy (src/HEVCe.c:1046-1087)
+    for luma.
+    """
+    group = jnp.asarray(syn.GROUP_INDEX)
+    ming = jnp.asarray(syn.MIN_IN_GROUP)
+    addr = int(syn._LAST_ADDR[0][sz // 8])
+    sft = int(syn._LAST_SFT[0][sz // 8])
+    gmax = int(syn.GROUP_INDEX[sz - 1])
+
+    ty = jnp.where(st == syn.SCAN_VER, x, y)
+    tx = jnp.where(st == syn.SCAN_VER, y, x)
+    gy = jnp.take(group, ty)
+    gx = jnp.take(group, tx)
+
+    lanes = y.shape[0]
+    ops = jnp.zeros((lanes, LAST_SEG), jnp.int32)
+    val = jnp.zeros((lanes, LAST_SEG), bool)
+    slot = 0
+
+    def ctx_run(ops, val, slot, g, base_ctx):
+        # g ctx-coded 1-bins at ctx base+(i>>sft), then a 0-bin if g < gmax
+        for i in range(gmax):
+            op = _pack(sim.KIND_CTX, 0, 1) + ((base_ctx + (i >> sft)) << 2)
+            ops = ops.at[:, slot].set(op)
+            val = val.at[:, slot].set(i < g)
+            slot += 1
+        op0 = _pack(sim.KIND_CTX, 0, 0)
+        ops = ops.at[:, slot].set(op0 + ((base_ctx + (jnp.minimum(g, gmax - 1) >> sft)) << 2))
+        val = val.at[:, slot].set(g < gmax)
+        slot += 1
+        return ops, val, slot
+
+    ops, val, slot = ctx_run(ops, val, slot, gx, cb.CTX_LAST_X + 5 * addr)
+    ops, val, slot = ctx_run(ops, val, slot, gy, cb.CTX_LAST_Y + 5 * addr)
+
+    # suffix bypass bits, MSB first: ((g-2)>>1)-1 .. 0 of (t - min_in_group[g])
+    maxsuf = max(((gmax - 2) >> 1), 0)
+    for t_coord, g in ((tx, gx), (ty, gy)):
+        rem = t_coord - jnp.take(ming, g)
+        nbits = jnp.where(g > 3, ((g - 2) >> 1), 0)
+        for i in range(maxsuf):
+            bitpos = nbits - 1 - i
+            b = (rem >> jnp.maximum(bitpos, 0)) & 1
+            ops = ops.at[:, slot].set(_pack(sim.KIND_BYPASS, 0, 0) + (b << 10))
+            val = val.at[:, slot].set(bitpos >= 0)
+            slot += 1
+    assert slot <= LAST_SEG, slot
+    return ops, val
+
+
+def generate_put_coef_ops(sz: int, pmode, blk):
+    """op strings for fresh/live putCoef of (lanes, sz, sz) blocks.
+
+    pmode: (lanes,) int32 (selects the scan), blk int32 quantized levels.
+    Returns (ops, valid): (lanes, TOTAL) mega-layout op words + validity.
+    Lanes with all-zero blocks (cbf=0) get an all-invalid string (no ops).
+    Compact with compact_ops() before simulation.
+    """
+    T = _tables(sz)
+    n = sz * sz
+    ncg2 = n // 16
+    lanes = blk.shape[0]
+    li = jnp.arange(lanes)
+
+    # scan type from pmode (src/HEVCe.c:1134-1150)
+    if sz <= 8:
+        st = jnp.where(jnp.abs(pmode - 26) <= 4, syn.SCAN_HOR,
+                       jnp.where(jnp.abs(pmode - 10) <= 4, syn.SCAN_VER,
+                                 syn.SCAN_DIAG))
+    else:
+        st = jnp.zeros_like(pmode)
+
+    posT = jnp.asarray(T["pos"])
+    vals = jnp.take_along_axis(blk.reshape(lanes, n),
+                               jnp.take(posT, st, axis=0), axis=1)
+    nz = vals != 0
+    absv = jnp.abs(vals)
+    sign = (vals < 0).astype(jnp.int32)
+    has_any = jnp.any(nz, axis=1)
+    i_last = n - 1 - jnp.argmax(nz[:, ::-1], axis=1)
+    g_last = i_last // 16
+    k_last = i_last % 16
+
+    cg_nz = nz.reshape(lanes, ncg2, 16)
+    cg_abs = absv.reshape(lanes, ncg2, 16)
+    cg_sign = sign.reshape(lanes, ncg2, 16)
+    sig_cg = jnp.any(cg_nz, axis=2)
+
+    # neighbor-CG significance -> sig_ctx per CG (src/HEVCe.c:1208-1211)
+    def nbr(tab):
+        idx = jnp.take(jnp.asarray(tab), st, axis=0)          # (lanes, ncg2)
+        ok = idx >= 0
+        v = jnp.take_along_axis(sig_cg, jnp.maximum(idx, 0), axis=1)
+        return jnp.where(ok, v, False)
+    right = nbr(T["cg_right"])
+    below = nbr(T["cg_below"])
+    sig_ctx = (below.astype(jnp.int32) << 1) | right.astype(jnp.int32)
+
+    # --- per-CG reverse-order nonzero ranking (k=15..0) ---
+    rev = cg_nz[:, :, ::-1]
+    rank_rev = jnp.cumsum(rev, axis=2) - rev                   # rank among nz, reverse order
+    rank = rank_rev[:, :, ::-1]                                # (lanes, ncg2, 16) valid where nz
+    nnz = cg_nz.sum(axis=2)
+
+    # j-th (reverse-order) nonzero's |value| and sign, j = 0..15
+    jj = jnp.arange(16)
+    sel = (rank[:, :, :, None] == jj) & cg_nz[:, :, :, None]   # (l, g, 16, j)
+    a_j = (cg_abs[:, :, :, None] * sel).sum(axis=2)            # (l, g, 16)
+    s_j = (cg_sign[:, :, :, None] * sel).sum(axis=2)
+
+    a8 = a_j[:, :, :8]
+    gt1_any_before = jnp.cumsum((a8 > 1).astype(jnp.int32), axis=2) - (a8 > 1)
+    c1_j = jnp.where(gt1_any_before > 0, 0, jnp.minimum(1 + jj[:8], 3))
+    count8 = jnp.minimum(nnz, 8)
+    ngt1 = (a8 > 1).sum(axis=2)
+    c1_out = jnp.where(ngt1 > 0, 0, jnp.minimum(1 + count8, 3))
+    # c1 chain across CGs in processing (reverse-scan) order (src/HEVCe.c:1230-1233):
+    # c1 into CG g = c1_out of the previously PROCESSED CG with nnz>0, else 1.
+    c1_in_per_g = [None] * ncg2
+    c1_run = jnp.ones((lanes,), jnp.int32)
+    for g in range(ncg2 - 1, -1, -1):
+        c1_in_per_g[g] = c1_run
+        processed = (g <= g_last) & (nnz[:, g] > 0)
+        c1_run = jnp.where(processed, c1_out[:, g], c1_run)
+    c1_in = jnp.stack(c1_in_per_g, axis=1)                      # (lanes, ncg2)
+
+    # luma ctx_set: +2 if not the first CG, +1 if incoming c1 == 0
+    ctx_set = (jnp.arange(ncg2)[None, :] != 0).astype(jnp.int32) * 2 \
+        + (c1_in == 0).astype(jnp.int32)
+    # first gt1 coefficient value (for gt2 + escape base)
+    first_gt1_j = jnp.argmax(a8 > 1, axis=2)
+    first_gt1_val = jnp.take_along_axis(a8, first_gt1_j[:, :, None], axis=2)[:, :, 0]
+    has_gt1 = ngt1 > 0
+    escape = (nnz > 8) | (ngt1 >= 2) | (has_gt1 & (first_gt1_val > 2))
+
+    # escape values + rparam/first_coeff2 evolution (src/HEVCe.c:1254-1266)
+    esc_prefix_len = jnp.zeros((lanes, ncg2, 16), jnp.int32)
+    esc_suffix_len = jnp.zeros((lanes, ncg2, 16), jnp.int32)
+    esc_prefix_ones = jnp.zeros((lanes, ncg2, 16), jnp.int32)
+    esc_suffix_val = jnp.zeros((lanes, ncg2, 16), jnp.int32)
+    esc_do = jnp.zeros((lanes, ncg2, 16), bool)
+    rparam = jnp.zeros((lanes, ncg2), jnp.int32)
+    seen_ge2 = jnp.zeros((lanes, ncg2), bool)
+    for j in range(16):
+        a = a_j[:, :, j]
+        base = jnp.where(jj[j] < 8, jnp.where(seen_ge2, 2, 3), 1)
+        esc_v = a - base
+        do = (jj[j] < nnz) & (esc_v >= 0) & escape
+        r = rparam
+        # case A: esc_v < 3<<r : prefix (len+1) bins, len = esc_v>>r ones + 0; suffix r bins
+        lenA = esc_v >> r
+        # case B: find len via the reference loop (<= 15+4 iterations)
+        vv = esc_v - (3 << r)
+        lenB = r + 0
+        for _ in range(16):
+            cond = vv >= (1 << lenB)
+            vv = jnp.where(cond, vv - (1 << lenB), vv)
+            lenB = jnp.where(cond, lenB + 1, lenB)
+        isA = esc_v < (3 << r)
+        plen = jnp.where(isA, lenA + 1, 4 + lenB - r)
+        pones = plen - 1
+        slen = jnp.where(isA, r, lenB)
+        sval = jnp.where(isA, esc_v & ((1 << jnp.maximum(r, 0)) - 1), vv)
+        esc_prefix_len = esc_prefix_len.at[:, :, j].set(jnp.where(do, plen, 0))
+        esc_prefix_ones = esc_prefix_ones.at[:, :, j].set(pones)
+        esc_suffix_len = esc_suffix_len.at[:, :, j].set(jnp.where(do, slen, 0))
+        esc_suffix_val = esc_suffix_val.at[:, :, j].set(sval)
+        esc_do = esc_do.at[:, :, j].set(do)
+        rparam = jnp.where(do & (a > (3 << r)), jnp.minimum(r + 1, 4), rparam)
+        seen_ge2 = seen_ge2 | ((jj[j] < nnz) & (a >= 2))
+
+    # --- emit the mega layout ---
+    TOTAL = LAST_SEG + ncg2 * CG_SEG
+    ops = jnp.zeros((lanes, TOTAL), jnp.int32)
+    valid = jnp.zeros((lanes, TOTAL), bool)
+
+    ly = jnp.take_along_axis(jnp.take(jnp.asarray(T["ypos"]), st, axis=0),
+                             i_last[:, None], axis=1)[:, 0]
+    lx = jnp.take_along_axis(jnp.take(jnp.asarray(T["xpos"]), st, axis=0),
+                             i_last[:, None], axis=1)[:, 0]
+    lops, lval = _last_xy_ops(sz, st, ly, lx)
+    ops = ops.at[:, :LAST_SEG].set(lops)
+    valid = valid.at[:, :LAST_SEG].set(lval)
+
+    sig_idx_all = jnp.take(jnp.asarray(T["sig_idx"]), st, axis=0)  # (lanes, 4, n)
+
+    for gi, g in enumerate(range(ncg2 - 1, -1, -1)):
+        off = LAST_SEG + gi * CG_SEG
+        in_range = g <= g_last
+        is_lastcg = g == g_last
+        sc = sig_ctx[:, g]
+        # cg_sig bin (not for first CG, not for the CG containing i_last)
+        cg_op = _pack(sim.KIND_CTX, 0, 0) \
+            + ((cb.CTX_SIG_MAP + (sc != 0).astype(jnp.int32)) << 2) \
+            + (sig_cg[:, g].astype(jnp.int32) << 10)
+        ops = ops.at[:, off].set(cg_op)
+        valid = valid.at[:, off].set(in_range & ~is_lastcg & (g != 0))
+        # sig bins, k = 15..0
+        for slot, k in enumerate(range(15, -1, -1)):
+            i_scan = g * 16 + k
+            idx4 = sig_idx_all[:, :, i_scan]                      # (lanes, 4)
+            cidx = jnp.take_along_axis(idx4, sc[:, None], axis=1)[:, 0]
+            b = cg_nz[:, g, k].astype(jnp.int32)
+            op = _pack(sim.KIND_CTX, 0, 0) + ((cb.CTX_SIG_SC + cidx) << 2) + (b << 10)
+            ops = ops.at[:, off + 1 + slot].set(op)
+            nnz_after = rank_rev[:, g, 15 - k]    # nonzeros seen before this k in reverse
+            coded = in_range & \
+                jnp.where(is_lastcg, i_scan < i_last, True) & \
+                ((g == 0) | (sig_cg[:, g] & ((k != 0) | (nnz_after > 0))))
+            valid = valid.at[:, off + 1 + slot].set(coded)
+        # gt1 bins j=0..7
+        for j in range(8):
+            cidx = cb.CTX_ONE_SC + 4 * ctx_set[:, g] + c1_j[:, g, j]
+            b = (a_j[:, :, j][:, g] > 1).astype(jnp.int32)
+            op = _pack(sim.KIND_CTX, 0, 0) + (cidx << 2) + (b << 10)
+            ops = ops.at[:, off + 17 + j].set(op)
+            valid = valid.at[:, off + 17 + j].set(in_range & (j < nnz[:, g]))
+        # gt2 bin
+        b2 = (first_gt1_val[:, g] > 2).astype(jnp.int32)
+        op2 = _pack(sim.KIND_CTX, 0, 0) + ((cb.CTX_ABS_SC + ctx_set[:, g]) << 2) + (b2 << 10)
+        ops = ops.at[:, off + 25].set(op2)
+        valid = valid.at[:, off + 25].set(in_range & has_gt1[:, g])
+        # sign bypass bins j=0..15 (MSB-first == reverse-order collection)
+        for j in range(16):
+            op = _pack(sim.KIND_BYPASS, 0, 0) + (s_j[:, g, j] << 10)
+            ops = ops.at[:, off + 26 + j].set(op)
+            valid = valid.at[:, off + 26 + j].set(in_range & (j < nnz[:, g]))
+        # escape bins: 16 coeffs x E slots
+        for j in range(16):
+            pl = esc_prefix_len[:, g, j]
+            po = esc_prefix_ones[:, g, j]
+            sl = esc_suffix_len[:, g, j]
+            sv = esc_suffix_val[:, g, j]
+            do = esc_do[:, g, j] & in_range
+            base = off + 42 + j * E_ESC
+            for e in range(E_ESC):
+                in_pre = e < pl
+                bit_pre = (e < po).astype(jnp.int32)
+                spos = sl - 1 - (e - pl)
+                bit_suf = (sv >> jnp.clip(spos, 0, 31)) & 1
+                b = jnp.where(in_pre, bit_pre, bit_suf)
+                op = _pack(sim.KIND_BYPASS, 0, 0) + (b << 10)
+                ops = ops.at[:, base + e].set(op)
+                valid = valid.at[:, base + e].set(do & (e < pl + sl))
+    valid = valid & has_any[:, None]
+    return ops, valid
+
+
+def compact_ops(ops, valid, cap: int):
+    """compact valid ops to the front; returns (lanes, cap) nop-padded array
+    and an overflow flag per lane (total ops > cap -> host fallback)."""
+    lanes = ops.shape[0]
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    total = jnp.sum(valid, axis=1)
+    out = jnp.full((lanes, cap + 1), sim.KIND_NOP, jnp.int32)
+    tgt = jnp.where(valid, jnp.minimum(pos, cap), cap)
+    out = out.at[jnp.arange(lanes)[:, None], tgt].set(
+        jnp.where(valid, ops, sim.KIND_NOP))
+    return out[:, :cap], total > cap
+
+
+def put_coef_rates(sz: int, qpd6: int, pmode, blk, cap=None):
+    """fresh-coder putCoef rates for (lanes, sz, sz) blocks, fully on device.
+
+    Returns (rates (lanes,) int32, overflow (lanes,) bool). Lanes with cbf=0
+    get rate 0. Overflowing lanes (pathological op counts) need host fallback.
+    """
+    if cap is None:
+        cap = {4: 640, 8: 1536, 16: 4096, 32: 12288}[sz]
+    ops, valid = generate_put_coef_ops(sz, pmode, blk)
+    packed, overflow = compact_ops(ops, valid, cap)
+    state = sim.initial_state(blk.shape[0], qpd6)
+    final = sim.simulate(state, packed)
+    return jnp.asarray(sim.bit_len(final), jnp.int32), overflow
