@@ -346,6 +346,114 @@ def compact_ops(ops, valid, cap: int):
     return out[:, :cap], total > cap
 
 
+def _mpm3(left, above):
+    """vectorized 3-entry MPM derivation (src/HEVCe.c:958-977); (lanes,) ints."""
+    third_neq = jnp.where((left != 0) & (above != 0), 0,
+                          jnp.where(left + above < 2, 26, 1))
+    m0 = jnp.where(left != above, left,
+                   jnp.where(left > 1, left, 0))
+    m1 = jnp.where(left != above, above,
+                   jnp.where(left > 1, ((left + 29) % 32) + 2, 1))
+    m2 = jnp.where(left != above, third_neq,
+                   jnp.where(left > 1, ((left - 1) % 32) + 2, 26))
+    return m0, m1, m2
+
+
+def generate_cu_header_ops(sz: int, tu_split: bool, pmode, pmode_left, pmode_above,
+                           gl, ga, split_cu_coded: bool = True):
+    """ops for a 2Nx2N CU header up to (but excluding) the Y cbf + coefficients:
+    [split_cu=0][part_size][pmode MPM bins][uv_pmode][split_tu][cbf U][cbf V].
+
+    All (lanes,) inputs; returns (ops (lanes, 16), valid). Mirrors
+    put_cu_2nx2n / put_cu_2nx2n_tusplit headers (src/HEVCe.c:1272-1316).
+    """
+    lanes = pmode.shape[0]
+    ops = jnp.zeros((lanes, 16), jnp.int32)
+    val = jnp.zeros((lanes, 16), bool)
+    slot = 0
+    t = jnp.ones((lanes,), bool)
+
+    def put(ops, val, slot, kind, cidx, b, cond):
+        op = _pack(kind, 0, 0) + (cidx << 2) + (b << 10)
+        return (ops.at[:, slot].set(op), val.at[:, slot].set(cond), slot + 1)
+
+    zero = jnp.zeros((lanes,), jnp.int32)
+    if split_cu_coded and sz >= 16:
+        cidx = cb.CTX_SPLIT_CU + gl.astype(jnp.int32) + ga.astype(jnp.int32)
+        ops, val, slot = put(ops, val, slot, sim.KIND_CTX, cidx, zero, t)
+    if sz == 8:   # part_size: 1 = 2Nx2N (src/HEVCe.c:952-955)
+        ops, val, slot = put(ops, val, slot, sim.KIND_CTX,
+                             zero + cb.CTX_PARTSIZE, zero + 1, t)
+    # pmode MPM coding (src/HEVCe.c:985-1018)
+    m0, m1, m2 = _mpm3(pmode_left, pmode_above)
+    hit = jnp.where(pmode == m2, 2, jnp.where(pmode == m1, 1,
+                    jnp.where(pmode == m0, 0, -1)))
+    is_hit = hit >= 0
+    ops, val, slot = put(ops, val, slot, sim.KIND_CTX, zero + cb.CTX_Y_PMODE,
+                         is_hit.astype(jnp.int32), t)
+    rem = pmode - ((pmode > m0).astype(jnp.int32) + (pmode > m1).astype(jnp.int32)
+                   + (pmode > m2).astype(jnp.int32))
+    # hit: [hit>0][hit-1 if hit>0]; miss: 5 bits of rem, MSB first
+    hit_bits = jnp.stack([(hit > 0).astype(jnp.int32),
+                          jnp.maximum(hit - 1, 0)], axis=1)
+    for i in range(5):
+        b_miss = (rem >> (4 - i)) & 1
+        b = jnp.where(is_hit, jnp.where(i < 2, hit_bits[:, jnp.minimum(i, 1)], 0), b_miss)
+        cond = jnp.where(is_hit, (i == 0) | ((i == 1) & (hit > 0)), True)
+        ops, val, slot = put(ops, val, slot, sim.KIND_BYPASS, zero, b, cond)
+    # uv pmode (always bin 0, src/HEVCe.c:1021-1023)
+    ops, val, slot = put(ops, val, slot, sim.KIND_CTX, zero + cb.CTX_UV_PMODE, zero, t)
+    # split_tu flag (src/HEVCe.c:1026-1033)
+    if sz in (32, 16, 8):
+        cidx = zero + cb.CTX_SPLIT_TU + {32: 0, 16: 1, 8: 2}[sz]
+        ops, val, slot = put(ops, val, slot, sim.KIND_CTX, cidx,
+                             zero + int(tu_split), t)
+    # U/V cbf = 0 at depth 0 (src/HEVCe.c:1286-1287)
+    for _ in range(2):
+        ops, val, slot = put(ops, val, slot, sim.KIND_CTX,
+                             zero + cb.CTX_UV_QT_CBF + 0, zero, t)
+    assert slot <= 16
+    return ops, val
+
+
+def generate_cu_2nx2n_ops(sz: int, pmode, pmode_left, pmode_above, gl, ga, blk):
+    """full step-2 trial ops: header + [Y cbf] + putCoef (src/HEVCe.c:1272-1291).
+
+    blk: (lanes, sz, sz) quantized levels. Returns (ops, valid) mega layout.
+    """
+    h_ops, h_val = generate_cu_header_ops(sz, False, pmode, pmode_left,
+                                          pmode_above, gl, ga)
+    lanes = pmode.shape[0]
+    cbf = jnp.any(blk.reshape(lanes, -1) != 0, axis=1)
+    zero = jnp.zeros((lanes,), jnp.int32)
+    cbf_op = (_pack(sim.KIND_CTX, 0, 0) + ((zero + cb.CTX_Y_QT_CBF + 1) << 2)
+              + (cbf.astype(jnp.int32) << 10))
+    c_ops, c_val = generate_put_coef_ops(sz, pmode, blk)
+    c_val = c_val & cbf[:, None]
+    return (jnp.concatenate([h_ops, cbf_op[:, None], c_ops], axis=1),
+            jnp.concatenate([h_val, jnp.ones((lanes, 1), bool), c_val], axis=1))
+
+
+def generate_cu_tusplit_ops(sz: int, pmode, pmode_left, pmode_above, gl, ga, blk4):
+    """full step-3 trial ops: header + 4x([Y cbf@depth1] + putCoef(h))
+    (src/HEVCe.c:1294-1316). blk4: (lanes, 4, h, h)."""
+    h = sz // 2
+    h_ops, h_val = generate_cu_header_ops(sz, True, pmode, pmode_left,
+                                          pmode_above, gl, ga)
+    lanes = pmode.shape[0]
+    parts_o = [h_ops]
+    parts_v = [h_val]
+    for isub in range(4):
+        sub = blk4[:, isub]
+        cbf = jnp.any(sub.reshape(lanes, -1) != 0, axis=1)
+        cbf_op = (_pack(sim.KIND_CTX, 0, 0) + ((cb.CTX_Y_QT_CBF + 0) << 2)
+                  + (cbf.astype(jnp.int32) << 10))
+        c_ops, c_val = generate_put_coef_ops(h, pmode, sub)
+        parts_o += [jnp.broadcast_to(cbf_op[:, None], (lanes, 1)), c_ops]
+        parts_v += [jnp.ones((lanes, 1), bool), c_val & cbf[:, None]]
+    return jnp.concatenate(parts_o, axis=1), jnp.concatenate(parts_v, axis=1)
+
+
 def put_coef_rates(sz: int, qpd6: int, pmode, blk, cap=None):
     """fresh-coder putCoef rates for (lanes, sz, sz) blocks, fully on device.
 
