@@ -82,22 +82,33 @@ def _tables(sz: int):
                 cg_right=cg_right, cg_below=cg_below)
 
 
+def _group_index(t):
+    """GROUP_INDEX[t] arithmetically (t in 0..31): t for t<4, else
+    2*(bitlen(t)-1) + bit below the MSB (H.265 last-significant grouping)."""
+    blen = (1 + (t >= 2).astype(jnp.int32) + (t >= 4) + (t >= 8) + (t >= 16))
+    msb1 = (t >> jnp.maximum(blen - 2, 0)) & 1
+    return jnp.where(t < 4, t, 2 * (blen - 1) + msb1)
+
+
+def _min_in_group(g):
+    """MIN_IN_GROUP[g] arithmetically: g for g<4, else (2+(g&1)) << (g/2 - 1)."""
+    return jnp.where(g < 4, g, (2 + (g & 1)) << jnp.maximum((g >> 1) - 1, 0))
+
+
 def _last_xy_ops(sz, st, y, x):
     """last-significant-XY segment ops (LAST_SEG slots) + valid mask.
 
     y/x/st: (lanes,). Mirrors put_last_significant_xy (src/HEVCe.c:1046-1087)
-    for luma.
+    for luma. Gather-free (table lookups are closed-form).
     """
-    group = jnp.asarray(syn.GROUP_INDEX)
-    ming = jnp.asarray(syn.MIN_IN_GROUP)
     addr = int(syn._LAST_ADDR[0][sz // 8])
     sft = int(syn._LAST_SFT[0][sz // 8])
     gmax = int(syn.GROUP_INDEX[sz - 1])
 
     ty = jnp.where(st == syn.SCAN_VER, x, y)
     tx = jnp.where(st == syn.SCAN_VER, y, x)
-    gy = jnp.take(group, ty)
-    gx = jnp.take(group, tx)
+    gy = _group_index(ty)
+    gx = _group_index(tx)
 
     lanes = y.shape[0]
     ops = jnp.zeros((lanes, LAST_SEG), jnp.int32)
@@ -123,7 +134,7 @@ def _last_xy_ops(sz, st, y, x):
     # suffix bypass bits, MSB first: ((g-2)>>1)-1 .. 0 of (t - min_in_group[g])
     maxsuf = max(((gmax - 2) >> 1), 0)
     for t_coord, g in ((tx, gx), (ty, gy)):
-        rem = t_coord - jnp.take(ming, g)
+        rem = t_coord - _min_in_group(g)
         nbits = jnp.where(g > 3, ((g - 2) >> 1), 0)
         for i in range(maxsuf):
             bitpos = nbits - 1 - i
@@ -157,9 +168,18 @@ def generate_put_coef_ops(sz: int, pmode, blk):
     else:
         st = jnp.zeros_like(pmode)
 
-    posT = jnp.asarray(T["pos"])
-    vals = jnp.take_along_axis(blk.reshape(lanes, n),
-                               jnp.take(posT, st, axis=0), axis=1)
+    # scan reorder via static permutations selected by a where-chain
+    # (dynamic gathers compile pathologically on the TPU backend)
+    def sel3(f):
+        a = f(0)
+        if sz > 8:
+            return a
+        return jnp.where((st == 1)[:, None] if a.ndim > 1 else (st == 1), f(1),
+                         jnp.where((st == 2)[:, None] if a.ndim > 1 else (st == 2),
+                                   f(2), a))
+
+    flat = blk.reshape(lanes, n)
+    vals = sel3(lambda s: flat[:, T["pos"][s]])
     nz = vals != 0
     absv = jnp.abs(vals)
     sign = (vals < 0).astype(jnp.int32)
@@ -175,10 +195,10 @@ def generate_put_coef_ops(sz: int, pmode, blk):
 
     # neighbor-CG significance -> sig_ctx per CG (src/HEVCe.c:1208-1211)
     def nbr(tab):
-        idx = jnp.take(jnp.asarray(tab), st, axis=0)          # (lanes, ncg2)
-        ok = idx >= 0
-        v = jnp.take_along_axis(sig_cg, jnp.maximum(idx, 0), axis=1)
-        return jnp.where(ok, v, False)
+        def f(s):
+            idx = tab[s]
+            return jnp.where(idx >= 0, sig_cg[:, np.maximum(idx, 0)], False)
+        return sel3(f)
     right = nbr(T["cg_right"])
     below = nbr(T["cg_below"])
     sig_ctx = (below.astype(jnp.int32) << 1) | right.astype(jnp.int32)
@@ -256,80 +276,89 @@ def generate_put_coef_ops(sz: int, pmode, blk):
         rparam = jnp.where(do & (a > (3 << r)), jnp.minimum(r + 1, 4), rparam)
         seen_ge2 = seen_ge2 | ((jj[j] < nnz) & (a >= 2))
 
-    # --- emit the mega layout ---
-    TOTAL = LAST_SEG + ncg2 * CG_SEG
-    ops = jnp.zeros((lanes, TOTAL), jnp.int32)
-    valid = jnp.zeros((lanes, TOTAL), bool)
+    # --- emit the mega layout via bulk tensor assembly (compile-friendly) ---
+    gg = jnp.arange(ncg2)
+    in_range = gg[None, :] <= g_last[:, None]                     # (lanes, ncg2)
+    is_lastcg = gg[None, :] == g_last[:, None]
 
-    ly = jnp.take_along_axis(jnp.take(jnp.asarray(T["ypos"]), st, axis=0),
-                             i_last[:, None], axis=1)[:, 0]
-    lx = jnp.take_along_axis(jnp.take(jnp.asarray(T["xpos"]), st, axis=0),
-                             i_last[:, None], axis=1)[:, 0]
+    # cg_sig column (lanes, ncg2, 1)
+    cg_sig_op = (_pack(sim.KIND_CTX, 0, 0)
+                 + ((cb.CTX_SIG_MAP + (sig_ctx != 0).astype(jnp.int32)) << 2)
+                 + (sig_cg.astype(jnp.int32) << 10))[:, :, None]
+    cg_sig_val = (in_range & ~is_lastcg & (gg[None, :] != 0))[:, :, None]
+
+    # sig bins (lanes, ncg2, 16) built k-ascending then flipped to k=15..0.
+    # ctx index per (st, sig_ctx) via static tables + where-chains.
+    def cidx_for(s):
+        tabs = T["sig_idx"][s].reshape(4, ncg2, 16)    # static numpy
+        out = jnp.broadcast_to(jnp.asarray(tabs[0]), (lanes, ncg2, 16))
+        for scv in (1, 2, 3):
+            out = jnp.where((sig_ctx == scv)[:, :, None], jnp.asarray(tabs[scv]), out)
+        return out
+    if sz > 8:
+        cidx = cidx_for(0)
+    else:
+        cidx = jnp.where((st == 1)[:, None, None], cidx_for(1),
+                         jnp.where((st == 2)[:, None, None], cidx_for(2),
+                                   cidx_for(0)))
+    sig_op = (_pack(sim.KIND_CTX, 0, 0) + ((cb.CTX_SIG_SC + cidx) << 2)
+              + (cg_nz.astype(jnp.int32) << 10))
+    kk = jnp.arange(16)
+    i_scan = gg[None, :, None] * 16 + kk[None, None, :]
+    nnz_after = nnz[:, :, None] - jnp.cumsum(cg_nz, axis=2)
+    sig_val = (in_range[:, :, None]
+               & jnp.where(is_lastcg[:, :, None], i_scan < i_last[:, None, None], True)
+               & ((gg[None, :, None] == 0)
+                  | (sig_cg[:, :, None] & ((kk[None, None, :] != 0) | (nnz_after > 0)))))
+    sig_op = sig_op[:, :, ::-1]
+    sig_val = sig_val[:, :, ::-1]
+
+    # gt1 (lanes, ncg2, 8)
+    gt1_op = (_pack(sim.KIND_CTX, 0, 0)
+              + ((cb.CTX_ONE_SC + 4 * ctx_set[:, :, None] + c1_j) << 2)
+              + ((a8 > 1).astype(jnp.int32) << 10))
+    gt1_val = in_range[:, :, None] & (jj[None, None, :8] < nnz[:, :, None])
+
+    # gt2 (lanes, ncg2, 1)
+    gt2_op = (_pack(sim.KIND_CTX, 0, 0) + ((cb.CTX_ABS_SC + ctx_set) << 2)
+              + ((first_gt1_val > 2).astype(jnp.int32) << 10))[:, :, None]
+    gt2_val = (in_range & has_gt1)[:, :, None]
+
+    # signs (lanes, ncg2, 16)
+    sign_op = _pack(sim.KIND_BYPASS, 0, 0) + (s_j << 10)
+    sign_val = in_range[:, :, None] & (jj[None, None, :] < nnz[:, :, None])
+
+    # escapes (lanes, ncg2, 16, E)
+    ee = jnp.arange(E_ESC)[None, None, None, :]
+    pl4 = esc_prefix_len[:, :, :, None]
+    po4 = esc_prefix_ones[:, :, :, None]
+    sl4 = esc_suffix_len[:, :, :, None]
+    sv4 = esc_suffix_val[:, :, :, None]
+    in_pre = ee < pl4
+    bit = jnp.where(in_pre, (ee < po4).astype(jnp.int32),
+                    (sv4 >> jnp.clip(sl4 - 1 - (ee - pl4), 0, 31)) & 1)
+    esc_op = (_pack(sim.KIND_BYPASS, 0, 0) + (bit << 10)).reshape(lanes, ncg2, 16 * E_ESC)
+    esc_val = ((esc_do & in_range[:, :, None])[:, :, :, None]
+               & (ee < pl4 + sl4)).reshape(lanes, ncg2, 16 * E_ESC)
+
+    cg_ops = jnp.concatenate([cg_sig_op, sig_op, gt1_op, gt2_op, sign_op, esc_op],
+                             axis=2)                                # (lanes, ncg2, CG_SEG)
+    cg_vals = jnp.concatenate([cg_sig_val, sig_val, gt1_val, gt2_val, sign_val,
+                               esc_val], axis=2)
+    # layout wants CGs in processing order (g = ncg2-1 .. 0)
+    cg_ops = cg_ops[:, ::-1, :].reshape(lanes, ncg2 * CG_SEG)
+    cg_vals = cg_vals[:, ::-1, :].reshape(lanes, ncg2 * CG_SEG)
+
+    # (y, x) of the last significant position via a masked sum (gather-free)
+    onehot_last = (jnp.arange(n)[None, :] == i_last[:, None]).astype(jnp.int32)
+    ypos = sel3(lambda s: jnp.broadcast_to(jnp.asarray(T["ypos"][s]), (lanes, n)))
+    xpos = sel3(lambda s: jnp.broadcast_to(jnp.asarray(T["xpos"][s]), (lanes, n)))
+    ly = (onehot_last * ypos).sum(axis=-1)
+    lx = (onehot_last * xpos).sum(axis=-1)
     lops, lval = _last_xy_ops(sz, st, ly, lx)
-    ops = ops.at[:, :LAST_SEG].set(lops)
-    valid = valid.at[:, :LAST_SEG].set(lval)
 
-    sig_idx_all = jnp.take(jnp.asarray(T["sig_idx"]), st, axis=0)  # (lanes, 4, n)
-
-    for gi, g in enumerate(range(ncg2 - 1, -1, -1)):
-        off = LAST_SEG + gi * CG_SEG
-        in_range = g <= g_last
-        is_lastcg = g == g_last
-        sc = sig_ctx[:, g]
-        # cg_sig bin (not for first CG, not for the CG containing i_last)
-        cg_op = _pack(sim.KIND_CTX, 0, 0) \
-            + ((cb.CTX_SIG_MAP + (sc != 0).astype(jnp.int32)) << 2) \
-            + (sig_cg[:, g].astype(jnp.int32) << 10)
-        ops = ops.at[:, off].set(cg_op)
-        valid = valid.at[:, off].set(in_range & ~is_lastcg & (g != 0))
-        # sig bins, k = 15..0
-        for slot, k in enumerate(range(15, -1, -1)):
-            i_scan = g * 16 + k
-            idx4 = sig_idx_all[:, :, i_scan]                      # (lanes, 4)
-            cidx = jnp.take_along_axis(idx4, sc[:, None], axis=1)[:, 0]
-            b = cg_nz[:, g, k].astype(jnp.int32)
-            op = _pack(sim.KIND_CTX, 0, 0) + ((cb.CTX_SIG_SC + cidx) << 2) + (b << 10)
-            ops = ops.at[:, off + 1 + slot].set(op)
-            nnz_after = rank_rev[:, g, 15 - k]    # nonzeros seen before this k in reverse
-            coded = in_range & \
-                jnp.where(is_lastcg, i_scan < i_last, True) & \
-                ((g == 0) | (sig_cg[:, g] & ((k != 0) | (nnz_after > 0))))
-            valid = valid.at[:, off + 1 + slot].set(coded)
-        # gt1 bins j=0..7
-        for j in range(8):
-            cidx = cb.CTX_ONE_SC + 4 * ctx_set[:, g] + c1_j[:, g, j]
-            b = (a_j[:, :, j][:, g] > 1).astype(jnp.int32)
-            op = _pack(sim.KIND_CTX, 0, 0) + (cidx << 2) + (b << 10)
-            ops = ops.at[:, off + 17 + j].set(op)
-            valid = valid.at[:, off + 17 + j].set(in_range & (j < nnz[:, g]))
-        # gt2 bin
-        b2 = (first_gt1_val[:, g] > 2).astype(jnp.int32)
-        op2 = _pack(sim.KIND_CTX, 0, 0) + ((cb.CTX_ABS_SC + ctx_set[:, g]) << 2) + (b2 << 10)
-        ops = ops.at[:, off + 25].set(op2)
-        valid = valid.at[:, off + 25].set(in_range & has_gt1[:, g])
-        # sign bypass bins j=0..15 (MSB-first == reverse-order collection)
-        for j in range(16):
-            op = _pack(sim.KIND_BYPASS, 0, 0) + (s_j[:, g, j] << 10)
-            ops = ops.at[:, off + 26 + j].set(op)
-            valid = valid.at[:, off + 26 + j].set(in_range & (j < nnz[:, g]))
-        # escape bins: 16 coeffs x E slots
-        for j in range(16):
-            pl = esc_prefix_len[:, g, j]
-            po = esc_prefix_ones[:, g, j]
-            sl = esc_suffix_len[:, g, j]
-            sv = esc_suffix_val[:, g, j]
-            do = esc_do[:, g, j] & in_range
-            base = off + 42 + j * E_ESC
-            for e in range(E_ESC):
-                in_pre = e < pl
-                bit_pre = (e < po).astype(jnp.int32)
-                spos = sl - 1 - (e - pl)
-                bit_suf = (sv >> jnp.clip(spos, 0, 31)) & 1
-                b = jnp.where(in_pre, bit_pre, bit_suf)
-                op = _pack(sim.KIND_BYPASS, 0, 0) + (b << 10)
-                ops = ops.at[:, base + e].set(op)
-                valid = valid.at[:, base + e].set(do & (e < pl + sl))
-    valid = valid & has_any[:, None]
+    ops = jnp.concatenate([lops, cg_ops], axis=1)
+    valid = jnp.concatenate([lval, cg_vals], axis=1) & has_any[:, None]
     return ops, valid
 
 
