@@ -897,18 +897,30 @@ struct NodeMathRefs {
     const i32* quant4;  // [35][4][(sz/2)*(sz/2)]
     const u8* recon4;   // [35][sz*sz]
     const i32* sse4;    // [35]
+    const i32* rates2;  // [35] trial CABAClen deltas vs the fork state from
+    const i32* rates3;  // [35] the device rate oracle; nullptr / -1 -> host
 };
 
 struct PuMathRefs {
     const i32* quant;   // [35][16]
     const u8* recon;    // [35][16]
     const i32* sse;     // [35]
+    const i32* rates;   // [35] fresh-coder putCoef CABAClen from the device
+                        //      rate oracle, or nullptr / -1 entries -> the
+                        //      arbiter trial-encodes on the host instead
+};
+
+struct NodeMeta {   // header-coding context for device-side trial rates
+    i32 pml, pma;   // left/above pmode (MPM context)
+    i32 gl, ga;     // larger-than-left/above (split-flag context)
 };
 
 struct MathProvider {
-    // all-35-mode candidates for a CU node (both TU layouts)
+    // all-35-mode candidates for a CU node (both TU layouts); rates2/rates3
+    // in the refs may be nullptr or contain -1 -> host computes those trials
     virtual NodeMathRefs node(EncState& st, i32 y, i32 x, i32 sz,
-                              bool bll, bool blb, bool baa, bool bar) = 0;
+                              bool bll, bool blb, bool baa, bool bar,
+                              const NodeMeta& meta) = 0;
     // all-35-mode 4x4 PU candidates (step-4 inner search)
     virtual PuMathRefs pu(EncState& st, i32 py, i32 px,
                           bool bll, bool blb, bool baa, bool bar) = 0;
@@ -1022,10 +1034,12 @@ static inline i32 dist_floor(i32 qpd6, i32 dist) {
 // default provider: computes candidates on the host CPU
 struct LocalMathProvider final : MathProvider {
     NodeMathRefs node(EncState& st, i32 y, i32 x, i32 sz,
-                      bool bll, bool blb, bool baa, bool bar) override {
+                      bool bll, bool blb, bool baa, bool bar,
+                      const NodeMeta&) override {
         static thread_local NodeMath M;
         node_math(st, y, x, sz, bll, blb, baa, bar, M);
-        return {M.quant, M.recon, M.sse, M.quant4, M.recon4, M.sse4};
+        return {M.quant, M.recon, M.sse, M.quant4, M.recon4, M.sse4,
+                nullptr, nullptr};
     }
     PuMathRefs pu(EncState& st, i32 py, i32 px,
                   bool bll, bool blb, bool baa, bool bar) override {
@@ -1041,7 +1055,7 @@ struct LocalMathProvider final : MathProvider {
             for (i32 j = 0; j < 4; j++) sorig[i * 4 + j] = st.og(py + i, px + j);
         for (i32 pm = 0; pm < MODES; pm++)
             s[pm] = candidate(st.qpd6, 4, B, pm, sorig, 4, q[pm], r[pm]);
-        return {&q[0][0], &r[0][0], s};
+        return {&q[0][0], &r[0][0], s, nullptr};
     }
 };
 
@@ -1104,56 +1118,77 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
         st.ctxs = o_ctxs;
     }
 
-    // ---- math for steps 2+3 (device engine on the batched path) ----
-    const NodeMathRefs M = st.mp->node(st, y, x, sz, bll, blb, baa, bar);
+    // ---- math + trial rates for steps 2+3 (device engine on the batched path) ----
+    const NodeMeta meta{pml, pma, gl, ga};
+    const NodeMathRefs M = st.mp->node(st, y, x, sz, bll, blb, baa, bar, meta);
     const i32 nn = sz * sz, hh = nn / 4;
 
-    // ---- step 2: 2Nx2N single TU ----
-    for (i32 pm = 0; pm < MODES; pm++) {
-        if (dist_floor(q, M.sse[pm]) > best) continue;   // provably loses
+    // evaluate the 70 candidates in reference order; device-supplied rates
+    // short-circuit the host trial encode, and the winner is replayed ONCE
+    // at the end (equivalent to the reference's commit-on-improve because
+    // ties commit the later candidate: the final winner is the last index
+    // attaining the running minimum).
+    auto host_trial2 = [&](i32 pm) -> i32 {
         st.enc = o_enc;
         st.ctxs = o_ctxs;
         put_split_cu(st.enc, st.ctxs, sz, 0, gl, ga);
         put_cu_2nx2n(st.enc, st.ctxs, sz, pm, pml, pma, M.quant + pm * nn);
-        i32 cost = rd_cost(q, M.sse[pm], (i32)(st.enc.bit_len() - o_len));
-        if (best >= cost) {
-            best = cost;
-            std::memcpy(best_rcon, M.recon + pm * nn, (size_t)sz * sz);
-            best_bytes.assign(st.arena.begin() + o_arena, st.arena.end());
-            best_enc = st.enc;
-            best_ctxs = st.ctxs;
-            have_best = true;
-            for (i32 r = 0; r < ntu; r++) {
-                std::memset(&st.mcu(mr + r, mc), sz, ntu);
-                std::memset(&st.mpm(mr + r, mc), pm, ntu);
-            }
-        }
+        i32 bits = (i32)(st.enc.bit_len() - o_len);
         st.arena.resize(o_arena);
-    }
-
-    // ---- step 3: 2Nx2N, four TUs ----
-    for (i32 pm = 0; pm < MODES; pm++) {
-        if (dist_floor(q, M.sse4[pm]) > best) continue;
+        return bits;
+    };
+    auto host_trial3 = [&](i32 pm) -> i32 {
         st.enc = o_enc;
         st.ctxs = o_ctxs;
         put_split_cu(st.enc, st.ctxs, sz, 0, gl, ga);
         const i32* q4pm = M.quant4 + (size_t)pm * 4 * hh;
         const i32* subs[4] = {q4pm, q4pm + hh, q4pm + 2 * hh, q4pm + 3 * hh};
         put_cu_tusplit(st.enc, st.ctxs, sz, pm, pml, pma, subs);
-        i32 cost = rd_cost(q, M.sse4[pm], (i32)(st.enc.bit_len() - o_len));
-        if (best >= cost) {
-            best = cost;
-            std::memcpy(best_rcon, M.recon4 + pm * nn, (size_t)sz * sz);
-            best_bytes.assign(st.arena.begin() + o_arena, st.arena.end());
-            best_enc = st.enc;
-            best_ctxs = st.ctxs;
-            have_best = true;
-            for (i32 r = 0; r < ntu; r++) {
-                std::memset(&st.mcu(mr + r, mc), sz, ntu);
-                std::memset(&st.mpm(mr + r, mc), pm, ntu);
+        i32 bits = (i32)(st.enc.bit_len() - o_len);
+        st.arena.resize(o_arena);
+        return bits;
+    };
+
+    i32 win_step = 0, win_pm = -1;   // 0 = incumbent (step 1)
+    for (int step = 2; step <= 3; step++) {
+        const i32* sse = (step == 2) ? M.sse : M.sse4;
+        const i32* rates = (step == 2) ? M.rates2 : M.rates3;
+        for (i32 pm = 0; pm < MODES; pm++) {
+            if (dist_floor(q, sse[pm]) > best) continue;   // provably loses
+            i32 bits = (rates && rates[pm] >= 0) ? rates[pm]
+                       : (step == 2 ? host_trial2(pm) : host_trial3(pm));
+            i32 cost = rd_cost(q, sse[pm], bits);
+            if (best >= cost) {
+                best = cost;
+                win_step = step;
+                win_pm = pm;
             }
         }
+    }
+    if (win_step != 0) {
+        // replay the winning candidate to materialize coder state + bytes
+        i32 pm = win_pm;
+        st.enc = o_enc;
+        st.ctxs = o_ctxs;
+        put_split_cu(st.enc, st.ctxs, sz, 0, gl, ga);
+        if (win_step == 2) {
+            put_cu_2nx2n(st.enc, st.ctxs, sz, pm, pml, pma, M.quant + pm * nn);
+            std::memcpy(best_rcon, M.recon + pm * nn, (size_t)nn);
+        } else {
+            const i32* q4pm = M.quant4 + (size_t)pm * 4 * hh;
+            const i32* subs[4] = {q4pm, q4pm + hh, q4pm + 2 * hh, q4pm + 3 * hh};
+            put_cu_tusplit(st.enc, st.ctxs, sz, pm, pml, pma, subs);
+            std::memcpy(best_rcon, M.recon4 + pm * nn, (size_t)nn);
+        }
+        best_bytes.assign(st.arena.begin() + o_arena, st.arena.end());
+        best_enc = st.enc;
+        best_ctxs = st.ctxs;
+        have_best = true;
         st.arena.resize(o_arena);
+        for (i32 r = 0; r < ntu; r++) {
+            std::memset(&st.mcu(mr + r, mc), sz, ntu);
+            std::memset(&st.mpm(mr + r, mc), pm, ntu);
+        }
     }
 
     // ---- step 4: NxN (8x8 only) ----
@@ -1168,18 +1203,23 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
             const PuMathRefs P = st.mp->pu(st, py, px, sf[isub][0], sf[isub][1],
                                            sf[isub][2], sf[isub][3]);
             i32 sub_best = I32_MAX;
-            // fresh-coder rate approximation per candidate (src/HEVCe.c:1505-1519)
+            // fresh-coder rate approximation per candidate (src/HEVCe.c:1505-1519);
+            // device-supplied rates short-circuit the host trial encode
             std::vector<u8> scratch_arena;
             for (i32 pm = 0; pm < MODES; pm++) {
                 i32 sse = P.sse[pm];
                 if (dist_floor(q, sse) > sub_best) continue;
-                scratch_arena.clear();
-                CabacEnc ne;
-                ne.arena = &scratch_arena;
-                CtxSet nc;
-                nc.init(q);
-                put_coef(ne, nc, h, false, pm, P.quant + pm * 16);
-                i32 cost = rd_cost(q, sse, (i32)ne.bit_len());
+                i32 rate = P.rates ? P.rates[pm] : -1;
+                if (rate < 0) {
+                    scratch_arena.clear();
+                    CabacEnc ne;
+                    ne.arena = &scratch_arena;
+                    CtxSet nc;
+                    nc.init(q);
+                    put_coef(ne, nc, h, false, pm, P.quant + pm * 16);
+                    rate = (i32)ne.bit_len();
+                }
+                i32 cost = rd_cost(q, sse, rate);
                 if (sub_best >= cost) {
                     sub_best = cost;
                     sub_pm[isub] = pm;
@@ -1335,10 +1375,14 @@ struct BatchEngine {
     std::vector<i32> req_left;   // B x 64
     std::vector<u8> req_flags;   // B x 4
     std::vector<i32> req_orig;   // B x 1024
+    std::vector<i32> req_state;  // B x 7  fork coder state (node events)
+    std::vector<i32> req_ctxs;   // B x 142 fork context vector
+    std::vector<i32> req_meta;   // B x 4  pml, pma, gl, ga
     i32 ev_kind = -1, ev_sz = 0;  // 0=node, 1=pu, 2=done
 
     // result buffers (compact per event: (B, 35, sz*sz) etc.)
-    std::vector<i32> res_quant, res_sse, res_quant4, res_sse4;
+    std::vector<i32> res_quant, res_sse, res_quant4, res_sse4, res_rates;
+    std::vector<i32> res_rates2, res_rates3;
     std::vector<u8> res_recon, res_recon4;
 
     std::mutex m;
@@ -1363,6 +1407,12 @@ struct BatchEngine {
         res_quant4.resize((size_t)B * MODES * CTU * CTU);
         res_recon4.resize((size_t)B * MODES * CTU * CTU);
         res_sse4.resize((size_t)B * MODES);
+        res_rates.assign((size_t)B * MODES, -1);
+        req_state.resize((size_t)B * 7);
+        req_ctxs.resize((size_t)B * NUM_CTX);
+        req_meta.resize((size_t)B * 4);
+        res_rates2.assign((size_t)B * MODES, -1);
+        res_rates3.assign((size_t)B * MODES, -1);
         streams.resize(B);
         rcons.resize(B);
         alive = B;
@@ -1419,8 +1469,19 @@ struct BatchMathProvider final : MathProvider {
     }
 
     NodeMathRefs node(EncState& st, i32 y, i32 x, i32 sz,
-                      bool bll, bool blb, bool baa, bool bar) override {
+                      bool bll, bool blb, bool baa, bool bar,
+                      const NodeMeta& meta) override {
         fill_request(st, y, x, sz, bll, blb, baa, bar);
+        // fork state for device-side trial rates (st.enc == the fork point:
+        // the arbiter rolls back to o_enc before requesting node math)
+        i32* s = be->req_state.data() + (size_t)slot * 7;
+        s[0] = st.enc.range; s[1] = st.enc.low; s[2] = st.enc.nbits;
+        s[3] = st.enc.outstanding; s[4] = st.enc.bufbyte; s[5] = st.enc.zrun;
+        s[6] = (i32)st.enc.nbytes;
+        i32* c = be->req_ctxs.data() + (size_t)slot * NUM_CTX;
+        for (int i = 0; i < NUM_CTX; i++) c[i] = st.ctxs.v[i];
+        i32* m = be->req_meta.data() + (size_t)slot * 4;
+        m[0] = meta.pml; m[1] = meta.pma; m[2] = meta.gl; m[3] = meta.ga;
         be->rendezvous(0, sz);
         size_t nn = (size_t)sz * sz;
         return {be->res_quant.data() + slot * MODES * nn,
@@ -1428,7 +1489,9 @@ struct BatchMathProvider final : MathProvider {
                 be->res_sse.data() + (size_t)slot * MODES,
                 be->res_quant4.data() + slot * MODES * nn,
                 be->res_recon4.data() + slot * MODES * nn,
-                be->res_sse4.data() + (size_t)slot * MODES};
+                be->res_sse4.data() + (size_t)slot * MODES,
+                be->res_rates2.data() + (size_t)slot * MODES,
+                be->res_rates3.data() + (size_t)slot * MODES};
     }
 
     PuMathRefs pu(EncState& st, i32 py, i32 px,
@@ -1437,7 +1500,8 @@ struct BatchMathProvider final : MathProvider {
         be->rendezvous(1, 4);
         return {be->res_quant.data() + (size_t)slot * MODES * 16,
                 be->res_recon.data() + (size_t)slot * MODES * 16,
-                be->res_sse.data() + (size_t)slot * MODES};
+                be->res_sse.data() + (size_t)slot * MODES,
+                be->res_rates.data() + (size_t)slot * MODES};
     }
 };
 
@@ -1509,6 +1573,12 @@ void* hevce_batch_buf(void* h, int which) {
         case 7: return be->res_quant4.data();
         case 8: return be->res_recon4.data();
         case 9: return be->res_sse4.data();
+        case 10: return be->res_rates.data();
+        case 11: return be->res_rates2.data();
+        case 12: return be->res_rates3.data();
+        case 13: return be->req_state.data();
+        case 14: return be->req_ctxs.data();
+        case 15: return be->req_meta.data();
         default: return nullptr;
     }
 }

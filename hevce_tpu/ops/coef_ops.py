@@ -146,13 +146,16 @@ def _last_xy_ops(sz, st, y, x):
     return ops, val
 
 
-def generate_put_coef_ops(sz: int, pmode, blk):
+def generate_put_coef_ops(sz: int, pmode, blk, code_zero_blocks: bool = False):
     """op strings for fresh/live putCoef of (lanes, sz, sz) blocks.
 
     pmode: (lanes,) int32 (selects the scan), blk int32 quantized levels.
     Returns (ops, valid): (lanes, TOTAL) mega-layout op words + validity.
-    Lanes with all-zero blocks (cbf=0) get an all-invalid string (no ops).
-    Compact with compact_ops() before simulation.
+
+    code_zero_blocks=False (cbf-guarded coding): all-zero lanes get no ops.
+    code_zero_blocks=True mirrors the reference step-4 rate approximation
+    (src/HEVCe.c:1516 calls putCoef unconditionally): an all-zero block
+    encodes just last_significant_xy at (0,0).
     """
     T = _tables(sz)
     n = sz * sz
@@ -184,7 +187,7 @@ def generate_put_coef_ops(sz: int, pmode, blk):
     absv = jnp.abs(vals)
     sign = (vals < 0).astype(jnp.int32)
     has_any = jnp.any(nz, axis=1)
-    i_last = n - 1 - jnp.argmax(nz[:, ::-1], axis=1)
+    i_last = jnp.where(has_any, n - 1 - jnp.argmax(nz[:, ::-1], axis=1), 0)
     g_last = i_last // 16
     k_last = i_last % 16
 
@@ -358,7 +361,9 @@ def generate_put_coef_ops(sz: int, pmode, blk):
     lops, lval = _last_xy_ops(sz, st, ly, lx)
 
     ops = jnp.concatenate([lops, cg_ops], axis=1)
-    valid = jnp.concatenate([lval, cg_vals], axis=1) & has_any[:, None]
+    valid = jnp.concatenate([lval, cg_vals], axis=1)
+    if not code_zero_blocks:
+        valid = valid & has_any[:, None]
     return ops, valid
 
 
@@ -491,7 +496,8 @@ def put_coef_rates(sz: int, qpd6: int, pmode, blk, cap=None):
     """
     if cap is None:
         cap = {4: 640, 8: 1536, 16: 4096, 32: 12288}[sz]
-    ops, valid = generate_put_coef_ops(sz, pmode, blk)
+    # step-4 semantics: zero blocks still encode a (0,0) last-XY
+    ops, valid = generate_put_coef_ops(sz, pmode, blk, code_zero_blocks=True)
     packed, overflow = compact_ops(ops, valid, cap)
     state = sim.initial_state(blk.shape[0], qpd6)
     final = sim.simulate(state, packed)

@@ -47,10 +47,87 @@ def _view(lib, handle, which, dtype, count):
                                  shape=(count,))
 
 
+_NODE_CAPS = {8: 2048, 16: 5120, 32: 14336}
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_node_step(sz: int, qpd6: int):
+    """node event: candidate math for both TU layouts + device trial rates
+    against the uploaded fork state (ROADMAP Phase B integration).
+
+    Overflowing lanes (op count beyond the cap) return rate -1 and the C++
+    arbiter trial-encodes those on the host — bit-exactness is unconditional.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hevce_tpu.ops import cabac_sim as sim
+    from hevce_tpu.ops import coef_ops as co
+
+    cap = _NODE_CAPS[sz]
+
+    def step(top, left, flags, orig, state7, fctxs, meta):
+        q1, r1, s1 = cu_eval.eval_2nx2n(sz, qpd6, top, left, flags, orig)
+        q4, r4, s4 = cu_eval.eval_tusplit(sz, qpd6, top, left, flags, orig)
+        B = q1.shape[0]
+
+        def rep(v):
+            return jnp.repeat(v, MODES, axis=0)
+
+        pm = jnp.tile(jnp.arange(MODES, dtype=jnp.int32), B)
+        pml, pma = rep(meta[:, 0]), rep(meta[:, 1])
+        gl, ga = rep(meta[:, 2]).astype(bool), rep(meta[:, 3]).astype(bool)
+        fork = dict(rng=rep(state7[:, 0]), low=rep(state7[:, 1]),
+                    nbits=rep(state7[:, 2]), outstanding=rep(state7[:, 3]),
+                    bufbyte=rep(state7[:, 4]), zrun=rep(state7[:, 5]),
+                    nbytes=rep(state7[:, 6]), ctxs=rep(fctxs))
+        base = sim.bit_len(fork)
+
+        ops2, val2 = co.generate_cu_2nx2n_ops(
+            sz, pm, pml, pma, gl, ga, q1.reshape(B * MODES, sz, sz))
+        packed2, ovf2 = co.compact_ops(ops2, val2, cap)
+        rates2 = sim.bit_len(sim.simulate(fork, packed2)) - base
+        rates2 = jnp.where(ovf2, -1, rates2).astype(jnp.int32)
+
+        h = sz // 2
+        ops3, val3 = co.generate_cu_tusplit_ops(
+            sz, pm, pml, pma, gl, ga, q4.reshape(B * MODES, 4, h, h))
+        packed3, ovf3 = co.compact_ops(ops3, val3, cap)
+        rates3 = sim.bit_len(sim.simulate(fork, packed3)) - base
+        rates3 = jnp.where(ovf3, -1, rates3).astype(jnp.int32)
+
+        return (q1, r1, s1, q4, r4, s4,
+                rates2.reshape(B, MODES), rates3.reshape(B, MODES))
+
+    return jax.jit(step)
+
+
 @functools.lru_cache(maxsize=None)
 def _jit_pu_step(qpd6: int):
+    """4x4 PU step: candidate math + fused device rate oracle.
+
+    The step-4 PU rate is a fresh-coder putCoef CABAClen (reference
+    src/HEVCe.c:1505-1519); ops/coef_ops + ops/cabac_sim compute it exactly
+    on device, so the host arbiter does no entropy work for PU search.
+    Lanes flagged overflow (pathological op counts) get rate -1 and the host
+    falls back to its own trial encode.
+    """
     import jax
-    return jax.jit(functools.partial(cu_eval.eval_2nx2n, 4, qpd6))
+    import jax.numpy as jnp
+
+    from hevce_tpu.ops import cabac_sim as sim
+    from hevce_tpu.ops import coef_ops as co
+
+    def step(top, left, flags, orig):
+        q1, r1, s1 = cu_eval.eval_2nx2n(4, qpd6, top, left, flags, orig)
+        B = q1.shape[0]
+        blks = q1.reshape(B * MODES, 4, 4)
+        pms = jnp.tile(jnp.arange(MODES, dtype=jnp.int32), B)
+        rates, overflow = co.put_coef_rates(4, qpd6, pms, blks, cap=640)
+        rates = jnp.where(overflow, -1, rates).reshape(B, MODES)
+        return q1, r1, s1, rates
+
+    return jax.jit(step)
 
 
 def encode_batch(images, qpd6: int):
@@ -82,6 +159,12 @@ def encode_batch(images, qpd6: int):
     res_quant4 = _view(lib, handle, 7, np.int32, B * MODES * 1024)
     res_recon4 = _view(lib, handle, 8, np.uint8, B * MODES * 1024)
     res_sse4 = _view(lib, handle, 9, np.int32, B * MODES)
+    res_rates = _view(lib, handle, 10, np.int32, B * MODES)
+    res_rates2 = _view(lib, handle, 11, np.int32, B * MODES)
+    res_rates3 = _view(lib, handle, 12, np.int32, B * MODES)
+    req_state = _view(lib, handle, 13, np.int32, B * 7).reshape(B, 7)
+    req_ctxs = _view(lib, handle, 14, np.int32, B * 142).reshape(B, 142)
+    req_meta = _view(lib, handle, 15, np.int32, B * 4).reshape(B, 4)
 
     szv = ctypes.c_int(0)
     try:
@@ -96,21 +179,24 @@ def encode_batch(images, qpd6: int):
             flags = req_flags.astype(bool)
             orig = req_orig[:, :nn].reshape(B, sz, sz)
             if kind == KIND_NODE:
-                fn = cu_eval.jit_eval_2nx2n(sz, qpd6)
-                q1, r1, s1 = fn(top, left, flags, orig)
-                fn4 = cu_eval.jit_eval_tusplit(sz, qpd6)
-                q4, r4, s4 = fn4(top, left, flags, orig)
+                out = _jit_node_step(sz, qpd6)(
+                    top, left, flags, orig,
+                    req_state.copy(), req_ctxs.copy(), req_meta.copy())
+                q1, r1, s1, q4, r4, s4, rates2, rates3 = out
                 res_quant[:B * MODES * nn] = np.asarray(q1).reshape(-1)
                 res_recon[:B * MODES * nn] = np.asarray(r1, np.uint8).reshape(-1)
                 res_sse[:] = np.asarray(s1).reshape(-1)
                 res_quant4[:B * MODES * nn] = np.asarray(q4).reshape(-1)
                 res_recon4[:B * MODES * nn] = np.asarray(r4, np.uint8).reshape(-1)
                 res_sse4[:] = np.asarray(s4).reshape(-1)
-            else:  # PU event: 4x4 single-TU only
-                q1, r1, s1 = _jit_pu_step(qpd6)(top, left, flags, orig)
+                res_rates2[:] = np.asarray(rates2).reshape(-1)
+                res_rates3[:] = np.asarray(rates3).reshape(-1)
+            else:  # PU event: 4x4 single-TU math + fused device rate oracle
+                q1, r1, s1, rates = _jit_pu_step(qpd6)(top, left, flags, orig)
                 res_quant[:B * MODES * 16] = np.asarray(q1).reshape(-1)
                 res_recon[:B * MODES * 16] = np.asarray(r1, np.uint8).reshape(-1)
                 res_sse[:] = np.asarray(s1).reshape(-1)
+                res_rates[:] = np.asarray(rates).reshape(-1)
             lib.hevce_batch_supply(handle)
 
         streams, rcons = [], []
