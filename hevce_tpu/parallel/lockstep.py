@@ -12,6 +12,7 @@ host cost is the sequential entropy arbitration only.
 """
 import ctypes
 import functools
+import os
 
 import numpy as np
 
@@ -130,11 +131,19 @@ def _jit_pu_step(qpd6: int):
     return jax.jit(step)
 
 
-def encode_batch(images, qpd6: int):
+def encode_batch(images, qpd6: int, node_rates: bool = None):
     """Encode a list of same-shaped uint8 grayscale images bit-exactly.
 
     Returns (list of stream bytes, list of recon arrays (padded dims)).
+
+    node_rates: also compute step-2/3 trial rates on device (full Phase B
+    data path). Bit-exact either way; default off (or HEVCE_NODE_RATES=1)
+    until the Pallas CABAC scan kernel lands — the jnp scan step costs
+    ~0.14 ms on v5e, so device rates are slower than host trials for now
+    (measured 9.4k rates/s vs ~1M/s host). PU rates are always fused (cheap).
     """
+    if node_rates is None:
+        node_rates = os.environ.get("HEVCE_NODE_RATES", "0") == "1"
     images = [np.ascontiguousarray(im, np.uint8) for im in images]
     shape = images[0].shape
     assert all(im.shape == shape for im in images), "batch must share dims"
@@ -179,18 +188,26 @@ def encode_batch(images, qpd6: int):
             flags = req_flags.astype(bool)
             orig = req_orig[:, :nn].reshape(B, sz, sz)
             if kind == KIND_NODE:
-                out = _jit_node_step(sz, qpd6)(
-                    top, left, flags, orig,
-                    req_state.copy(), req_ctxs.copy(), req_meta.copy())
-                q1, r1, s1, q4, r4, s4, rates2, rates3 = out
+                if node_rates:
+                    out = _jit_node_step(sz, qpd6)(
+                        top, left, flags, orig,
+                        req_state.copy(), req_ctxs.copy(), req_meta.copy())
+                    q1, r1, s1, q4, r4, s4, rates2, rates3 = out
+                    res_rates2[:] = np.asarray(rates2).reshape(-1)
+                    res_rates3[:] = np.asarray(rates3).reshape(-1)
+                else:
+                    q1, r1, s1 = cu_eval.jit_eval_2nx2n(sz, qpd6)(
+                        top, left, flags, orig)
+                    q4, r4, s4 = cu_eval.jit_eval_tusplit(sz, qpd6)(
+                        top, left, flags, orig)
+                    res_rates2[:] = -1
+                    res_rates3[:] = -1
                 res_quant[:B * MODES * nn] = np.asarray(q1).reshape(-1)
                 res_recon[:B * MODES * nn] = np.asarray(r1, np.uint8).reshape(-1)
                 res_sse[:] = np.asarray(s1).reshape(-1)
                 res_quant4[:B * MODES * nn] = np.asarray(q4).reshape(-1)
                 res_recon4[:B * MODES * nn] = np.asarray(r4, np.uint8).reshape(-1)
                 res_sse4[:] = np.asarray(s4).reshape(-1)
-                res_rates2[:] = np.asarray(rates2).reshape(-1)
-                res_rates3[:] = np.asarray(rates3).reshape(-1)
             else:  # PU event: 4x4 single-TU math + fused device rate oracle
                 q1, r1, s1, rates = _jit_pu_step(qpd6)(top, left, flags, orig)
                 res_quant[:B * MODES * 16] = np.asarray(q1).reshape(-1)

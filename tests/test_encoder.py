@@ -77,3 +77,14 @@ def test_lockstep_batch_matches_sequential(golden):
     assert streams[0] == s2 and streams[1] == so and streams[2] == so
     np.testing.assert_array_equal(rcons[0], r2)
     np.testing.assert_array_equal(rcons[1], ro)
+
+
+def test_lockstep_with_device_node_rates(golden):
+    """full Phase B data path: steps-2/3 trial rates computed on device"""
+    from hevce_tpu.parallel.lockstep import encode_batch
+    g = golden("images")
+    img2 = g["img_2"]
+    s2, r2 = encode_image_native(img2, 2)
+    streams, rcons = encode_batch([img2], 2, node_rates=True)
+    assert streams[0] == s2
+    np.testing.assert_array_equal(rcons[0], r2)
