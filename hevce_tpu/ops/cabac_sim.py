@@ -26,12 +26,49 @@ import numpy as np
 
 from hevce_tpu.bitstream import cabac as cb
 
+NUM_CTX = cb.NUM_CTX
+
 KIND_CTX, KIND_BYPASS, KIND_TERM, KIND_NOP = 0, 1, 2, 3
 
 _LPS_FLAT = jnp.asarray(cb.LPS_TABLE.reshape(-1), jnp.int32)        # (256,)
 _RENORM = jnp.asarray(cb.RENORM_TABLE, jnp.int32)                   # (32,)
 _NEXT_MPS = jnp.asarray(cb.NEXT_STATE_MPS.astype(np.int32))         # (128,)
 _NEXT_LPS = jnp.asarray(cb.NEXT_STATE_LPS.astype(np.int32))         # (128,)
+
+
+def _bitsliced(table, nbits):
+    """pack a small int table into per-bit uint32 words for gather-free lookup
+    (dynamic gathers/scatters lower pathologically on the TPU backend)."""
+    table = np.asarray(table, np.uint32)
+    n = len(table)
+    nwords = (n + 31) // 32
+    planes = np.zeros((nbits, nwords), np.uint32)
+    for i, v in enumerate(table):
+        for b in range(nbits):
+            if (int(v) >> b) & 1:
+                planes[b, i // 32] |= np.uint32(1) << (i % 32)
+    return planes.astype(np.int64).astype(np.int32)  # reinterpret-safe values
+
+
+_LPS_PLANES = _bitsliced(cb.LPS_TABLE.reshape(-1), 8)     # (8, 8) words
+_TRANS_PLANES = _bitsliced(cb.NEXT_STATE_LPS, 7)          # (7, 4) words
+_MPS_PLANES = _bitsliced(cb.NEXT_STATE_MPS, 7)
+
+
+def _lookup(planes_np, idx):
+    """table[idx] via bit-sliced planes: word select (where-chain over <=8
+    words) + variable shift; idx (lanes,) int32, values >= 0."""
+    nbits, nwords = planes_np.shape
+    word_i = idx >> 5
+    bit_i = idx & 31
+    out = jnp.zeros_like(idx)
+    for b in range(nbits):
+        w = jnp.full_like(idx, int(planes_np[b, 0]))
+        for wi in range(1, nwords):
+            w = jnp.where(word_i == wi, int(planes_np[b, wi]), w)
+        bit = (w >> bit_i) & 1
+        out = out | (bit << b)
+    return out
 
 
 def pack_op(kind, ctx_idx=0, binval=0):
@@ -114,12 +151,17 @@ def _step(state, op):
     is_term = kind == KIND_TERM
     active = kind != KIND_NOP
 
-    # --- context-coded bin (src/HEVCe.c:914-933)
-    v = jnp.take_along_axis(ctxs, cidx[:, None], axis=1)[:, 0]
-    lps = jnp.take(_LPS_FLAT, (v >> 1) * 4 + ((rng >> 6) & 3))
+    # --- context-coded bin (src/HEVCe.c:914-933); table lookups are
+    # bit-sliced and the context vector is accessed via one-hot arithmetic
+    # (dynamic gather/scatter lowers pathologically on this backend)
+    onehot = (cidx[:, None] == jnp.arange(NUM_CTX)[None, :]).astype(jnp.int32)
+    v = (ctxs * onehot).sum(axis=1)
+    lps = _lookup(_LPS_PLANES, (v >> 1) * 4 + ((rng >> 6) & 3))
     r1 = rng - lps
     is_lps = b != (v & 1)
-    nbit = jnp.take(_RENORM, lps >> 3)
+    li = lps >> 3
+    nbit = 6 - ((li >= 1).astype(jnp.int32) + (li >= 2) + (li >= 4)
+                + (li >= 8) + (li >= 16))
     mps_renorm = r1 < 256
     ctx_low = jnp.where(is_lps, (low + r1) << nbit,
                         jnp.where(mps_renorm, low << 1, low))
@@ -127,7 +169,7 @@ def _step(state, op):
                         jnp.where(mps_renorm, r1 << 1, r1))
     ctx_nbits = nbits - jnp.where(is_lps, nbit,
                                   jnp.where(mps_renorm, 1, 0))
-    newv = jnp.where(is_lps, jnp.take(_NEXT_LPS, v), jnp.take(_NEXT_MPS, v))
+    newv = jnp.where(is_lps, _lookup(_TRANS_PLANES, v), _lookup(_MPS_PLANES, v))
 
     # --- bypass bin (src/HEVCe.c:899-911, per-bit expansion)
     byp_low = (low << 1) + rng * b
@@ -147,10 +189,8 @@ def _step(state, op):
     rng2 = jnp.where(is_ctx, ctx_rng, jnp.where(is_term, term_rng, rng))
     nbits2 = jnp.where(is_ctx, ctx_nbits, jnp.where(is_byp, byp_nbits,
                        jnp.where(is_term, term_nbits, nbits)))
-    ctxs2 = jnp.where(
-        is_ctx[:, None],
-        ctxs.at[jnp.arange(ctxs.shape[0]), cidx].set(jnp.where(is_ctx, newv, v)),
-        ctxs)
+    delta = jnp.where(is_ctx, newv - v, 0)
+    ctxs2 = ctxs + onehot * delta[:, None]
 
     # inactive lanes keep everything
     low2 = jnp.where(active, low2, low)
@@ -182,6 +222,35 @@ def simulate(state, ops):
     exact rate in 1/1 bits (the reference CABAClen unit).
     """
     final, _ = jax.lax.scan(_step, state, jnp.swapaxes(ops, 0, 1))
+    return final
+
+
+CHUNK = 256
+
+
+def simulate_chunked(state, ops, nops):
+    """simulate() that stops after the last real op across all lanes.
+
+    ops: (lanes, L) with L a multiple of CHUNK; nops: (lanes,) actual op
+    counts. The padded cap only bounds memory — runtime is proportional to
+    max(nops) rounded up to a chunk, via a while_loop over CHUNK-step scans.
+    """
+    lanes, L = ops.shape
+    assert L % CHUNK == 0
+    ops_t = jnp.swapaxes(ops, 0, 1)              # (L, lanes)
+    nchunks = (jnp.max(nops) + CHUNK - 1) // CHUNK
+
+    def cond(carry):
+        i, _ = carry
+        return i < nchunks
+
+    def body(carry):
+        i, st = carry
+        sl = jax.lax.dynamic_slice(ops_t, (i * CHUNK, 0), (CHUNK, lanes))
+        st2, _ = jax.lax.scan(_step, st, sl)
+        return i + 1, st2
+
+    _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     return final
 
 

@@ -368,8 +368,8 @@ def generate_put_coef_ops(sz: int, pmode, blk, code_zero_blocks: bool = False):
 
 
 def compact_ops(ops, valid, cap: int):
-    """compact valid ops to the front; returns (lanes, cap) nop-padded array
-    and an overflow flag per lane (total ops > cap -> host fallback)."""
+    """compact valid ops to the front; returns ((lanes, cap) nop-padded array,
+    overflow flag per lane (total ops > cap -> host fallback), op counts)."""
     lanes = ops.shape[0]
     pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
     total = jnp.sum(valid, axis=1)
@@ -377,7 +377,7 @@ def compact_ops(ops, valid, cap: int):
     tgt = jnp.where(valid, jnp.minimum(pos, cap), cap)
     out = out.at[jnp.arange(lanes)[:, None], tgt].set(
         jnp.where(valid, ops, sim.KIND_NOP))
-    return out[:, :cap], total > cap
+    return out[:, :cap], total > cap, jnp.minimum(total, cap)
 
 
 def _mpm3(left, above):
@@ -498,7 +498,7 @@ def put_coef_rates(sz: int, qpd6: int, pmode, blk, cap=None):
         cap = {4: 640, 8: 1536, 16: 4096, 32: 12288}[sz]
     # step-4 semantics: zero blocks still encode a (0,0) last-XY
     ops, valid = generate_put_coef_ops(sz, pmode, blk, code_zero_blocks=True)
-    packed, overflow = compact_ops(ops, valid, cap)
+    packed, overflow, nops = compact_ops(ops, valid, cap)
     state = sim.initial_state(blk.shape[0], qpd6)
-    final = sim.simulate(state, packed)
+    final = sim.simulate_chunked(state, packed, nops)
     return jnp.asarray(sim.bit_len(final), jnp.int32), overflow

@@ -86,15 +86,15 @@ def _jit_node_step(sz: int, qpd6: int):
 
         ops2, val2 = co.generate_cu_2nx2n_ops(
             sz, pm, pml, pma, gl, ga, q1.reshape(B * MODES, sz, sz))
-        packed2, ovf2 = co.compact_ops(ops2, val2, cap)
-        rates2 = sim.bit_len(sim.simulate(fork, packed2)) - base
+        packed2, ovf2, n2 = co.compact_ops(ops2, val2, cap)
+        rates2 = sim.bit_len(sim.simulate_chunked(fork, packed2, n2)) - base
         rates2 = jnp.where(ovf2, -1, rates2).astype(jnp.int32)
 
         h = sz // 2
         ops3, val3 = co.generate_cu_tusplit_ops(
             sz, pm, pml, pma, gl, ga, q4.reshape(B * MODES, 4, h, h))
-        packed3, ovf3 = co.compact_ops(ops3, val3, cap)
-        rates3 = sim.bit_len(sim.simulate(fork, packed3)) - base
+        packed3, ovf3, n3 = co.compact_ops(ops3, val3, cap)
+        rates3 = sim.bit_len(sim.simulate_chunked(fork, packed3, n3)) - base
         rates3 = jnp.where(ovf3, -1, rates3).astype(jnp.int32)
 
         return (q1, r1, s1, q4, r4, s4,

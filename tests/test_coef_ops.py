@@ -13,7 +13,7 @@ def test_op_generation_matches_recorder(golden):
         blks = np.stack([g["blk"][t][:szw, :szw] for t in idx]).astype(np.int32)
         pms = np.asarray([int(g["pmode"][t]) for t in idx], np.int32)
         ops, valid = co.generate_put_coef_ops(szw, pms, blks)
-        packed, overflow = co.compact_ops(ops, valid, 16384)
+        packed, overflow, _n = co.compact_ops(ops, valid, 16384)
         packed = np.asarray(packed)
         assert not np.asarray(overflow).any()
         for li, t in enumerate(idx):
@@ -30,7 +30,7 @@ def test_device_rate_chain_matches_golden(golden):
         blks = np.stack([g["blk"][t][:szw, :szw] for t in idx]).astype(np.int32)
         pms = np.asarray([int(g["pmode"][t]) for t in idx], np.int32)
         ops, valid = co.generate_put_coef_ops(szw, pms, blks)
-        packed, overflow = co.compact_ops(ops, valid, 16384)
+        packed, overflow, _n = co.compact_ops(ops, valid, 16384)
         assert not np.asarray(overflow).any()
         state = sim.initial_state(len(idx), 0)
         state["ctxs"] = np.stack([
@@ -85,12 +85,12 @@ def test_live_state_trial_rates_match_python():
     ga = rng.integers(0, 2, lanes).astype(bool)
 
     ops, val = co.generate_cu_2nx2n_ops(sz, pms, pl, pa, gl, ga, blks)
-    packed, _ = co.compact_ops(ops, val, 8192)
+    packed, _, _n = co.compact_ops(ops, val, 8192)
     dev = np.asarray(sim.bit_len(sim.simulate(live_state(lanes), np.asarray(packed)))) - base
     h = sz // 2
     blk4 = np.stack([np.stack([b[:h, :h], b[:h, h:], b[h:, :h], b[h:, h:]]) for b in blks])
     ops, val = co.generate_cu_tusplit_ops(sz, pms, pl, pa, gl, ga, blk4)
-    packed, _ = co.compact_ops(ops, val, 8192)
+    packed, _, _n = co.compact_ops(ops, val, 8192)
     dev3 = np.asarray(sim.bit_len(sim.simulate(live_state(lanes), np.asarray(packed)))) - base
 
     for li in range(lanes):
