@@ -1388,6 +1388,8 @@ struct BatchEngine {
     std::mutex m;
     std::condition_variable cv_master, cv_workers;
     i32 arrived = 0, alive = 0;
+    bool aborted = false;   // driver died mid-event: free-run the workers so
+                            // destroy() can join (results are discarded)
     uint64_t generation = 0;
 
     std::vector<std::vector<u8>> streams, rcons;
@@ -1421,11 +1423,19 @@ struct BatchEngine {
     // worker side: slot request filled; wait for device results
     void rendezvous(i32 kind, i32 sz) {
         std::unique_lock<std::mutex> lk(m);
+        if (aborted) return;
         if (arrived == 0) { ev_kind = kind; ev_sz = sz; }
         arrived++;
         uint64_t gen = generation;
         if (arrived == alive) cv_master.notify_one();
-        cv_workers.wait(lk, [&] { return generation != gen; });
+        cv_workers.wait(lk, [&] { return generation != gen || aborted; });
+    }
+
+    void abort() {
+        std::unique_lock<std::mutex> lk(m);
+        aborted = true;
+        generation++;
+        cv_workers.notify_all();
     }
 
     void worker_done() {
@@ -1593,6 +1603,12 @@ long long hevce_batch_stream(void* h, int slot, uint8_t* out) {
 void hevce_batch_rcon(void* h, int slot, uint8_t* out) {
     auto* be = static_cast<hevce::BatchEngine*>(h);
     std::memcpy(out, be->rcons[slot].data(), be->rcons[slot].size());
+}
+
+// free-run blocked workers (their results are garbage and must be discarded);
+// call before destroy when the driver aborts mid-encode
+void hevce_batch_abort(void* h) {
+    static_cast<hevce::BatchEngine*>(h)->abort();
 }
 
 void hevce_batch_destroy(void* h) {

@@ -236,8 +236,11 @@ def simulate_chunked(state, ops, nops):
     max(nops) rounded up to a chunk, via a while_loop over CHUNK-step scans.
     """
     lanes, L = ops.shape
-    assert L % CHUNK == 0
-    ops_t = jnp.swapaxes(ops, 0, 1)              # (L, lanes)
+    if L % CHUNK:
+        pad = CHUNK - L % CHUNK
+        ops = jnp.concatenate(
+            [ops, jnp.full((lanes, pad), KIND_NOP, jnp.int32)], axis=1)
+    ops_t = jnp.swapaxes(ops, 0, 1)              # (L_padded, lanes)
     nchunks = (jnp.max(nops) + CHUNK - 1) // CHUNK
 
     def cond(carry):

@@ -495,7 +495,7 @@ def put_coef_rates(sz: int, qpd6: int, pmode, blk, cap=None):
     get rate 0. Overflowing lanes (pathological op counts) need host fallback.
     """
     if cap is None:
-        cap = {4: 640, 8: 1536, 16: 4096, 32: 12288}[sz]
+        cap = {4: 768, 8: 1536, 16: 4096, 32: 12288}[sz]
     # step-4 semantics: zero blocks still encode a (0,0) last-XY
     ops, valid = generate_put_coef_ops(sz, pmode, blk, code_zero_blocks=True)
     packed, overflow, nops = compact_ops(ops, valid, cap)

@@ -39,6 +39,7 @@ def _bind(lib):
     lib.hevce_batch_rcon.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                      ctypes.POINTER(ctypes.c_uint8)]
     lib.hevce_batch_destroy.argtypes = [ctypes.c_void_p]
+    lib.hevce_batch_abort.argtypes = [ctypes.c_void_p]
 
 
 def _view(lib, handle, which, dtype, count):
@@ -124,7 +125,7 @@ def _jit_pu_step(qpd6: int):
         B = q1.shape[0]
         blks = q1.reshape(B * MODES, 4, 4)
         pms = jnp.tile(jnp.arange(MODES, dtype=jnp.int32), B)
-        rates, overflow = co.put_coef_rates(4, qpd6, pms, blks, cap=640)
+        rates, overflow = co.put_coef_rates(4, qpd6, pms, blks, cap=768)
         rates = jnp.where(overflow, -1, rates).reshape(B, MODES)
         return q1, r1, s1, rates
 
@@ -176,6 +177,7 @@ def encode_batch(images, qpd6: int, node_rates: bool = None):
     req_meta = _view(lib, handle, 15, np.int32, B * 4).reshape(B, 4)
 
     szv = ctypes.c_int(0)
+    ok = False
     try:
         while True:
             kind = lib.hevce_batch_next(handle, ctypes.byref(szv))
@@ -227,6 +229,11 @@ def encode_batch(images, qpd6: int, node_rates: bool = None):
             lib.hevce_batch_rcon(
                 handle, s, rc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
             rcons.append(rc)
+        ok = True
         return streams, rcons
     finally:
+        if not ok:
+            # free-run blocked workers so destroy() can join; their output
+            # is discarded with the exception
+            lib.hevce_batch_abort(handle)
         lib.hevce_batch_destroy(handle)
