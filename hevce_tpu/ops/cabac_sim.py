@@ -30,12 +30,6 @@ NUM_CTX = cb.NUM_CTX
 
 KIND_CTX, KIND_BYPASS, KIND_TERM, KIND_NOP = 0, 1, 2, 3
 
-_LPS_FLAT = jnp.asarray(cb.LPS_TABLE.reshape(-1), jnp.int32)        # (256,)
-_RENORM = jnp.asarray(cb.RENORM_TABLE, jnp.int32)                   # (32,)
-_NEXT_MPS = jnp.asarray(cb.NEXT_STATE_MPS.astype(np.int32))         # (128,)
-_NEXT_LPS = jnp.asarray(cb.NEXT_STATE_LPS.astype(np.int32))         # (128,)
-
-
 def _bitsliced(table, nbits):
     """pack a small int table into per-bit uint32 words for gather-free lookup
     (dynamic gathers/scatters lower pathologically on the TPU backend)."""

@@ -115,12 +115,6 @@ def _angular_tables(sz: int):
     return idx1, idx2, frac, horiz
 
 
-@functools.lru_cache(maxsize=None)
-def _planar_dc_tables(sz: int):
-    filt_planar = bool(C.FILTER_BORDER_Y[sz][0])
-    return filt_planar
-
-
 # ---------------------------------------------------------------------------
 # dense 35-mode prediction
 # ---------------------------------------------------------------------------

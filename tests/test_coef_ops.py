@@ -52,7 +52,6 @@ def test_zero_block_has_no_ops():
 
 def test_live_state_trial_rates_match_python():
     """full step-2/step-3 trial rates from a live coder state == Python engine."""
-    import jax
     from hevce_tpu.bitstream import syntax as syn
     rng = np.random.default_rng(42)
     qpd6 = 2
