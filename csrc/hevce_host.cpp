@@ -144,6 +144,9 @@ struct CabacEnc {
     i32 bufbyte = 0xFF;
     i32 zrun = 0;
     i64 nbytes = 0;                 // total bytes logically emitted (for bit_len)
+    i64 abort_len = INT64_MAX;      // trial encodes may stop once bit_len()
+                                    // exceeds this (the candidate provably
+                                    // loses: bits only grow, cost is monotone)
     std::vector<u8>* arena = nullptr;
 
     void emit(i32 byte) {
@@ -464,6 +467,7 @@ static void put_coef(CabacEnc& e, CtxSet& c, i32 sz, bool chroma, i32 pmode, con
             abs_nz[nnz++] = v < 0 ? -v : v;
             signs = (signs << 1) | (v < 0 ? 1 : 0);
         }
+        if (first_in_cg && e.bit_len() > e.abort_len) return;  // hopeless trial
         if (first_in_cg && nnz > 0) {
             i32 cset = (chroma ? 4 : 0) + ((!chroma && !first_cg) ? 2 : 0) + (c1 == 0 ? 1 : 0);
             bool escape = nnz > 8;
@@ -1128,25 +1132,34 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
     // at the end (equivalent to the reference's commit-on-improve because
     // ties commit the later candidate: the final winner is the last index
     // attaining the running minimum).
-    auto host_trial2 = [&](i32 pm) -> i32 {
+    // bit budget beyond which a trial provably loses: rd_cost is monotone in
+    // bits, so cost <= best requires w_bits*bits <= best - w_dist*sse
+    auto bit_budget = [&](i32 sse, i32 running_best) -> i64 {
+        i32 c1 = dist_floor(q, sse);
+        if (c1 > running_best) return -1;
+        return (i64)(running_best - c1) / kWBits[q];
+    };
+    auto host_trial2 = [&](i32 pm, i64 budget) -> i32 {
         st.enc = o_enc;
         st.ctxs = o_ctxs;
+        st.enc.abort_len = o_len + budget;
         put_split_cu(st.enc, st.ctxs, sz, 0, gl, ga);
         put_cu_2nx2n(st.enc, st.ctxs, sz, pm, pml, pma, M.quant + pm * nn);
-        i32 bits = (i32)(st.enc.bit_len() - o_len);
+        i64 bits = st.enc.bit_len() - o_len;
         st.arena.resize(o_arena);
-        return bits;
+        return bits > budget ? I32_MAX : (i32)bits;   // aborted/over: loses
     };
-    auto host_trial3 = [&](i32 pm) -> i32 {
+    auto host_trial3 = [&](i32 pm, i64 budget) -> i32 {
         st.enc = o_enc;
         st.ctxs = o_ctxs;
+        st.enc.abort_len = o_len + budget;
         put_split_cu(st.enc, st.ctxs, sz, 0, gl, ga);
         const i32* q4pm = M.quant4 + (size_t)pm * 4 * hh;
         const i32* subs[4] = {q4pm, q4pm + hh, q4pm + 2 * hh, q4pm + 3 * hh};
         put_cu_tusplit(st.enc, st.ctxs, sz, pm, pml, pma, subs);
-        i32 bits = (i32)(st.enc.bit_len() - o_len);
+        i64 bits = st.enc.bit_len() - o_len;
         st.arena.resize(o_arena);
-        return bits;
+        return bits > budget ? I32_MAX : (i32)bits;
     };
 
     i32 win_step = 0, win_pm = -1;   // 0 = incumbent (step 1)
@@ -1154,9 +1167,12 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
         const i32* sse = (step == 2) ? M.sse : M.sse4;
         const i32* rates = (step == 2) ? M.rates2 : M.rates3;
         for (i32 pm = 0; pm < MODES; pm++) {
-            if (dist_floor(q, sse[pm]) > best) continue;   // provably loses
+            i64 budget = bit_budget(sse[pm], best);
+            if (budget < 0) continue;                      // provably loses
             i32 bits = (rates && rates[pm] >= 0) ? rates[pm]
-                       : (step == 2 ? host_trial2(pm) : host_trial3(pm));
+                       : (step == 2 ? host_trial2(pm, budget)
+                                    : host_trial3(pm, budget));
+            if (bits == I32_MAX) continue;                 // over budget: loses
             i32 cost = rd_cost(q, sse[pm], bits);
             if (best >= cost) {
                 best = cost;
@@ -1208,16 +1224,23 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
             std::vector<u8> scratch_arena;
             for (i32 pm = 0; pm < MODES; pm++) {
                 i32 sse = P.sse[pm];
-                if (dist_floor(q, sse) > sub_best) continue;
+                i32 c1f = dist_floor(q, sse);
+                if (c1f > sub_best) continue;
+                i64 budget = (i64)(sub_best - c1f) / kWBits[q];
                 i32 rate = P.rates ? P.rates[pm] : -1;
                 if (rate < 0) {
                     scratch_arena.clear();
                     CabacEnc ne;
                     ne.arena = &scratch_arena;
+                    ne.abort_len = budget;
                     CtxSet nc;
                     nc.init(q);
                     put_coef(ne, nc, h, false, pm, P.quant + pm * 16);
-                    rate = (i32)ne.bit_len();
+                    i64 r64 = ne.bit_len();
+                    if (r64 > budget) continue;           // over budget: loses
+                    rate = (i32)r64;
+                } else if (rate > budget) {
+                    continue;
                 }
                 i32 cost = rd_cost(q, sse, rate);
                 if (sub_best >= cost) {
