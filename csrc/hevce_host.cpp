@@ -16,6 +16,7 @@
 //  * next-state tables and scan orders are generated at startup, not embedded.
 //
 // Build: tools/build_native.py -> hevce_tpu/runtime/libhevce_host.so
+#include <atomic>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -1551,6 +1552,42 @@ static void batch_worker(BatchEngine* be, i32 slot) {
     be->worker_done();
 }
 
+// pure-native parallel batch encode: nthreads workers drain an image queue
+// with local (host) math — the production throughput path on many-core hosts
+// (this dev box has one core; see ROADMAP.md)
+struct NativeBatch {
+    const u8* imgs;
+    i32 n, ysz, xsz, qpd6;
+    std::vector<std::vector<u8>> streams, rcons;
+    std::atomic<i32> next{0};
+    void run(i32 slot) {
+        i32 y = ysz, x = xsz;
+        i32 yp = (ysz + CTU - 1) / CTU * CTU, xp = (xsz + CTU - 1) / CTU * CTU;
+        std::vector<u8> stream((size_t)yp * xp + (1 << 16));
+        std::vector<u8> rcon((size_t)yp * xp);
+        i64 len = encode(imgs + (size_t)slot * ysz * xsz, &y, &x, qpd6,
+                         stream.data(), rcon.data(), nullptr);
+        stream.resize((size_t)len);
+        streams[slot] = std::move(stream);
+        rcons[slot] = std::move(rcon);
+    }
+};
+
+static void native_batch_encode(NativeBatch& nb, i32 nthreads) {
+    nb.streams.resize(nb.n);
+    nb.rcons.resize(nb.n);
+    auto worker = [&] {
+        for (;;) {
+            i32 slot = nb.next.fetch_add(1);
+            if (slot >= nb.n) return;
+            nb.run(slot);
+        }
+    };
+    std::vector<std::thread> ts;
+    for (i32 t = 0; t < nthreads; t++) ts.emplace_back(worker);
+    for (auto& t : ts) t.join();
+}
+
 }  // namespace hevce
 
 // ---------------------------------------------------------------------------
@@ -1638,5 +1675,27 @@ void hevce_batch_destroy(void* h) {
     auto* be = static_cast<hevce::BatchEngine*>(h);
     for (auto& t : be->threads) t.join();
     delete be;
+}
+
+// pure-native parallel batch encode over nthreads host workers.
+// imgs: n contiguous (ysz, xsz) images; out buffers sized n * padded dims;
+// lens_out: n entries. Returns 0 on success.
+int hevce_encode_many(const uint8_t* imgs, int n, int ysz, int xsz, int qpd6,
+                      int nthreads, uint8_t* streams_out, long long* lens_out,
+                      uint8_t* rcons_out) {
+    if (n <= 0 || qpd6 < 0 || qpd6 > 4 || ysz <= 0 || xsz <= 0) return -1;
+    hevce::NativeBatch nb;
+    nb.imgs = imgs; nb.n = n; nb.ysz = ysz; nb.xsz = xsz; nb.qpd6 = qpd6;
+    hevce::native_batch_encode(nb, nthreads < 1 ? 1 : nthreads);
+    int yp = (ysz + 31) / 32 * 32, xp = (xsz + 31) / 32 * 32;
+    size_t cap = (size_t)yp * xp + (1 << 16);
+    for (int i = 0; i < n; i++) {
+        lens_out[i] = (long long)nb.streams[i].size();
+        std::memcpy(streams_out + (size_t)i * cap, nb.streams[i].data(),
+                    nb.streams[i].size());
+        std::memcpy(rcons_out + (size_t)i * yp * xp, nb.rcons[i].data(),
+                    (size_t)yp * xp);
+    }
+    return 0;
 }
 }

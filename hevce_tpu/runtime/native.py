@@ -38,6 +38,47 @@ def _load():
         return lib
 
 
+def encode_many_native(imgs, qpd6: int, nthreads: int = 0):
+    """Parallel native batch encode: nthreads C++ workers drain the image
+    queue (host math). The production throughput path on many-core hosts;
+    bit-exact per image. nthreads=0 -> os.cpu_count().
+
+    Returns (list of stream bytes, list of recon arrays (padded dims)).
+    """
+    import os as _os
+    imgs = [np.ascontiguousarray(im, np.uint8) for im in imgs]
+    shape = imgs[0].shape
+    assert all(im.shape == shape for im in imgs)
+    assert 0 <= qpd6 <= 4
+    n = len(imgs)
+    ysz, xsz = shape
+    yp, xp = -(-ysz // 32) * 32, -(-xsz // 32) * 32
+    cap = yp * xp + (1 << 16)
+    lib = _load()
+    if not hasattr(lib.hevce_encode_many, "_bound"):
+        lib.hevce_encode_many.restype = ctypes.c_int
+        lib.hevce_encode_many.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.hevce_encode_many._bound = True
+    blob = np.concatenate([im.reshape(-1) for im in imgs])
+    streams = np.empty(n * cap, np.uint8)
+    lens = np.empty(n, np.int64)
+    rcons = np.empty((n, yp, xp), np.uint8)
+    rc = lib.hevce_encode_many(
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, ysz, xsz, qpd6,
+        nthreads or (_os.cpu_count() or 1),
+        streams.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        rcons.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise ValueError("hevce_encode_many failed")
+    return ([bytes(streams[i * cap:i * cap + lens[i]]) for i in range(n)],
+            [rcons[i] for i in range(n)])
+
+
 def encode_image_native(img: np.ndarray, qpd6: int):
     """Encode one 8-bit grayscale image with the native engine.
 

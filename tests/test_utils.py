@@ -92,3 +92,14 @@ def test_device_step_sharded_mesh():
         fn0 = pb.jit_device_step(8, 2)
         q1b, *_ = fn0(*args)
         np.testing.assert_array_equal(np.asarray(q1), np.asarray(q1b))
+
+
+def test_encode_many_native_matches_sequential():
+    from hevce_tpu.runtime.native import encode_image_native, encode_many_native
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (64, 64)).astype(np.uint8) for _ in range(4)]
+    streams, rcons = encode_many_native(imgs, 3, nthreads=2)
+    for im, s, r in zip(imgs, streams, rcons):
+        s1, r1 = encode_image_native(im, 3)
+        assert s == s1
+        np.testing.assert_array_equal(r, r1)
