@@ -17,8 +17,12 @@ Two exactness notes:
   * emulation-prevention byte counting over a run of k identical carry-fill
     bytes uses a closed form of the zero-run automaton (z in {0,1,2}).
 
-Op encoding (int32): kind | ctx_idx << 2 | bin << 10
-  kind: 0 = context-coded bin, 1 = bypass bin, 2 = terminate bin, 3 = nop.
+Op encoding (int32), kind = op & 3:
+  0 context-coded bin: ctx_idx << 2 | bin << 10
+  1 bypass RUN of 1..8 bins (matching the reference's CABACputBins chunking,
+    src/HEVCe.c:899-911): len << 2 | value << 6
+  2 terminate bin: bin << 10
+  3 nop (padding)
 """
 import jax
 import jax.numpy as jnp
@@ -67,6 +71,24 @@ def _lookup(planes_np, idx):
 
 def pack_op(kind, ctx_idx=0, binval=0):
     return kind | (ctx_idx << 2) | (binval << 10)
+
+
+def pack_bypass(value, length):
+    """one bypass run op (1 <= length <= 8)."""
+    assert 1 <= length <= 8
+    return KIND_BYPASS | (length << 2) | ((value & 0xFF) << 6)
+
+
+def split_bypass(value, length):
+    """(value, len) chunks of <= 8 bins, MSB first — the reference's
+    CABACputBins split (src/HEVCe.c:899-911)."""
+    value &= (1 << length) - 1
+    out = []
+    while length > 0:
+        cur = min(length, 8)
+        length -= cur
+        out.append(((value >> length) & ((1 << cur) - 1), cur))
+    return out
 
 
 def initial_state(lanes: int, qpd6: int):
@@ -140,6 +162,8 @@ def _step(state, op):
     kind = op & 3
     cidx = (op >> 2) & 0xFF
     b = (op >> 10) & 1
+    byp_len = (op >> 2) & 0xF
+    byp_val = (op >> 6) & 0xFF
     is_ctx = kind == KIND_CTX
     is_byp = kind == KIND_BYPASS
     is_term = kind == KIND_TERM
@@ -165,9 +189,9 @@ def _step(state, op):
                                   jnp.where(mps_renorm, 1, 0))
     newv = jnp.where(is_lps, _lookup(_TRANS_PLANES, v), _lookup(_MPS_PLANES, v))
 
-    # --- bypass bin (src/HEVCe.c:899-911, per-bit expansion)
-    byp_low = (low << 1) + rng * b
-    byp_nbits = nbits - 1
+    # --- bypass run of 1..8 bins (src/HEVCe.c:899-911, chunk-exact)
+    byp_low = (low << byp_len) + rng * byp_val
+    byp_nbits = nbits - byp_len
 
     # --- terminate bin (src/HEVCe.c:882-896)
     r2 = rng - 2
@@ -263,9 +287,8 @@ class OpRecorder:
         self.ops.append(pack_op(KIND_CTX, idx, int(bool(binval))))
 
     def encode_bypass(self, bins, length):
-        bins &= (1 << length) - 1
-        for i in range(length - 1, -1, -1):
-            self.ops.append(pack_op(KIND_BYPASS, 0, (bins >> i) & 1))
+        for v, l in split_bypass(bins, length):
+            self.ops.append(pack_bypass(v, l))
 
     def encode_terminate(self, binval):
         self.ops.append(pack_op(KIND_TERM, 0, int(bool(binval))))

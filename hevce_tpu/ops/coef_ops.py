@@ -24,9 +24,11 @@ from hevce_tpu.bitstream import cabac as cb
 from hevce_tpu.bitstream import syntax as syn
 from hevce_tpu.ops import cabac_sim as sim
 
-E_ESC = 34                     # max Golomb-Rice bins per escaped coefficient
-CG_SEG = 1 + 16 + 8 + 1 + 16 + 16 * E_ESC
-LAST_SEG = 40
+# ops per escaped coefficient: <=3 prefix chunks (plen <= 24) + 2 suffix
+# chunks (slen <= 16), bypass runs of <= 8 bins each
+E_ESC = 5
+CG_SEG = 1 + 16 + 8 + 1 + 2 + 16 * E_ESC   # cg_sig, sig, gt1, gt2, signs, esc
+LAST_SEG = 28
 
 
 def _pack(kind, ctx, binv):
@@ -131,15 +133,16 @@ def _last_xy_ops(sz, st, y, x):
     ops, val, slot = ctx_run(ops, val, slot, gx, cb.CTX_LAST_X + 5 * addr)
     ops, val, slot = ctx_run(ops, val, slot, gy, cb.CTX_LAST_Y + 5 * addr)
 
-    # suffix bypass bits, MSB first: ((g-2)>>1)-1 .. 0 of (t - min_in_group[g])
-    maxsuf = max(((gmax - 2) >> 1), 0)
+    # suffix bypass bits, emitted one bin per op exactly like the reference's
+    # per-bit CABACputBins calls (src/HEVCe.c:1076-1086)
+    maxsuf = max((gmax - 2) >> 1, 0)
     for t_coord, g in ((tx, gx), (ty, gy)):
         rem = t_coord - _min_in_group(g)
-        nbits = jnp.where(g > 3, ((g - 2) >> 1), 0)
+        nb = jnp.where(g > 3, ((g - 2) >> 1), 0)
         for i in range(maxsuf):
-            bitpos = nbits - 1 - i
+            bitpos = nb - 1 - i
             b = (rem >> jnp.maximum(bitpos, 0)) & 1
-            ops = ops.at[:, slot].set(_pack(sim.KIND_BYPASS, 0, 0) + (b << 10))
+            ops = ops.at[:, slot].set(sim.KIND_BYPASS + (1 << 2) + (b << 6))
             val = val.at[:, slot].set(bitpos >= 0)
             slot += 1
     assert slot <= LAST_SEG, slot
@@ -244,20 +247,19 @@ def generate_put_coef_ops(sz: int, pmode, blk, code_zero_blocks: bool = False):
     escape = (nnz > 8) | (ngt1 >= 2) | (has_gt1 & (first_gt1_val > 2))
 
     # escape values + rparam/first_coeff2 evolution (src/HEVCe.c:1254-1266)
-    esc_prefix_len = jnp.zeros((lanes, ncg2, 16), jnp.int32)
-    esc_suffix_len = jnp.zeros((lanes, ncg2, 16), jnp.int32)
-    esc_prefix_ones = jnp.zeros((lanes, ncg2, 16), jnp.int32)
-    esc_suffix_val = jnp.zeros((lanes, ncg2, 16), jnp.int32)
+    esc_plen = jnp.zeros((lanes, ncg2, 16), jnp.int32)   # prefix bin count
+    esc_slen = jnp.zeros((lanes, ncg2, 16), jnp.int32)   # suffix bin count
+    esc_sval = jnp.zeros((lanes, ncg2, 16), jnp.int32)   # suffix value
     esc_do = jnp.zeros((lanes, ncg2, 16), bool)
     rparam = jnp.zeros((lanes, ncg2), jnp.int32)
     seen_ge2 = jnp.zeros((lanes, ncg2), bool)
     for j in range(16):
         a = a_j[:, :, j]
-        base = jnp.where(jj[j] < 8, jnp.where(seen_ge2, 2, 3), 1)
+        base = jnp.where(j < 8, jnp.where(seen_ge2, 2, 3), 1)
         esc_v = a - base
-        do = (jj[j] < nnz) & (esc_v >= 0) & escape
+        do = (j < nnz) & (esc_v >= 0) & escape
         r = rparam
-        # case A: esc_v < 3<<r : prefix (len+1) bins, len = esc_v>>r ones + 0; suffix r bins
+        # case A: esc_v < 3<<r : prefix (len+1) bins; suffix r bins
         lenA = esc_v >> r
         # case B: find len via the reference loop (<= 15+4 iterations)
         vv = esc_v - (3 << r)
@@ -268,16 +270,14 @@ def generate_put_coef_ops(sz: int, pmode, blk, code_zero_blocks: bool = False):
             lenB = jnp.where(cond, lenB + 1, lenB)
         isA = esc_v < (3 << r)
         plen = jnp.where(isA, lenA + 1, 4 + lenB - r)
-        pones = plen - 1
         slen = jnp.where(isA, r, lenB)
         sval = jnp.where(isA, esc_v & ((1 << jnp.maximum(r, 0)) - 1), vv)
-        esc_prefix_len = esc_prefix_len.at[:, :, j].set(jnp.where(do, plen, 0))
-        esc_prefix_ones = esc_prefix_ones.at[:, :, j].set(pones)
-        esc_suffix_len = esc_suffix_len.at[:, :, j].set(jnp.where(do, slen, 0))
-        esc_suffix_val = esc_suffix_val.at[:, :, j].set(sval)
+        esc_plen = esc_plen.at[:, :, j].set(jnp.where(do, plen, 0))
+        esc_slen = esc_slen.at[:, :, j].set(jnp.where(do, slen, 0))
+        esc_sval = esc_sval.at[:, :, j].set(sval)
         esc_do = esc_do.at[:, :, j].set(do)
         rparam = jnp.where(do & (a > (3 << r)), jnp.minimum(r + 1, 4), rparam)
-        seen_ge2 = seen_ge2 | ((jj[j] < nnz) & (a >= 2))
+        seen_ge2 = seen_ge2 | ((j < nnz) & (a >= 2))
 
     # --- emit the mega layout via bulk tensor assembly (compile-friendly) ---
     gg = jnp.arange(ncg2)
@@ -327,22 +327,41 @@ def generate_put_coef_ops(sz: int, pmode, blk, code_zero_blocks: bool = False):
               + ((first_gt1_val > 2).astype(jnp.int32) << 10))[:, :, None]
     gt2_val = (in_range & has_gt1)[:, :, None]
 
-    # signs (lanes, ncg2, 16)
-    sign_op = _pack(sim.KIND_BYPASS, 0, 0) + (s_j << 10)
-    sign_val = in_range[:, :, None] & (jj[None, None, :] < nnz[:, :, None])
+    # signs: one or two bypass chunks per CG (MSB-first collected value)
+    sign_value = (s_j << jnp.clip(nnz[:, :, None] - 1 - jj[None, None, :], 0, 31)).sum(axis=2)
+    c1n = jnp.minimum(nnz, 8)
+    c2n = jnp.clip(nnz - 8, 0, 8)
+    s_chunk1 = (sign_value >> c2n) & 0xFF
+    s_chunk2 = sign_value & ((1 << c2n) - 1)
+    sign_op = jnp.stack([sim.KIND_BYPASS + (c1n << 2) + (s_chunk1 << 6),
+                         sim.KIND_BYPASS + (c2n << 2) + (s_chunk2 << 6)], axis=2)
+    sign_val = jnp.stack([in_range & (nnz > 0), in_range & (nnz > 8)], axis=2)
 
-    # escapes (lanes, ncg2, 16, E)
-    ee = jnp.arange(E_ESC)[None, None, None, :]
-    pl4 = esc_prefix_len[:, :, :, None]
-    po4 = esc_prefix_ones[:, :, :, None]
-    sl4 = esc_suffix_len[:, :, :, None]
-    sv4 = esc_suffix_val[:, :, :, None]
-    in_pre = ee < pl4
-    bit = jnp.where(in_pre, (ee < po4).astype(jnp.int32),
-                    (sv4 >> jnp.clip(sl4 - 1 - (ee - pl4), 0, 31)) & 1)
-    esc_op = (_pack(sim.KIND_BYPASS, 0, 0) + (bit << 10)).reshape(lanes, ncg2, 16 * E_ESC)
-    esc_val = ((esc_do & in_range[:, :, None])[:, :, :, None]
-               & (ee < pl4 + sl4)).reshape(lanes, ncg2, 16 * E_ESC)
+    # escapes: per coeff <=3 prefix chunks ((plen-1) ones + a 0) + 2 suffix chunks
+    def chunk_lens(total, maxchunks):
+        return [jnp.clip(total - 8 * k, 0, 8) for k in range(maxchunks)]
+
+    p1, p2, p3 = chunk_lens(esc_plen, 3)
+    # the chunk containing the final 0-bin is the last nonempty one
+    def pre_val(lk, is_last):
+        full = (1 << lk) - 1
+        return jnp.where(is_last, full - 1, full)
+    pv1 = pre_val(p1, esc_plen <= 8)
+    pv2 = pre_val(p2, esc_plen <= 16)
+    pv3 = pre_val(p3, True)
+    s1, s2 = chunk_lens(esc_slen, 2)
+    sv1 = (esc_sval >> s2) & 0xFF
+    sv2 = esc_sval & ((1 << s2) - 1)
+    esc_parts_op = [sim.KIND_BYPASS + (p1 << 2) + (pv1 << 6),
+                    sim.KIND_BYPASS + (p2 << 2) + (pv2 << 6),
+                    sim.KIND_BYPASS + (p3 << 2) + (pv3 << 6),
+                    sim.KIND_BYPASS + (s1 << 2) + (sv1 << 6),
+                    sim.KIND_BYPASS + (s2 << 2) + (sv2 << 6)]
+    esc_parts_val = [p1 > 0, p2 > 0, p3 > 0, s1 > 0, s2 > 0]
+    doin = esc_do & in_range[:, :, None]
+    esc_op = jnp.stack(esc_parts_op, axis=3).reshape(lanes, ncg2, 16 * E_ESC)
+    esc_val = jnp.stack([v & doin for v in esc_parts_val],
+                        axis=3).reshape(lanes, ncg2, 16 * E_ESC)
 
     cg_ops = jnp.concatenate([cg_sig_op, sig_op, gt1_op, gt2_op, sign_op, esc_op],
                              axis=2)                                # (lanes, ncg2, CG_SEG)
@@ -427,14 +446,18 @@ def generate_cu_header_ops(sz: int, tu_split: bool, pmode, pmode_left, pmode_abo
                          is_hit.astype(jnp.int32), t)
     rem = pmode - ((pmode > m0).astype(jnp.int32) + (pmode > m1).astype(jnp.int32)
                    + (pmode > m2).astype(jnp.int32))
-    # hit: [hit>0][hit-1 if hit>0]; miss: 5 bits of rem, MSB first
-    hit_bits = jnp.stack([(hit > 0).astype(jnp.int32),
-                          jnp.maximum(hit - 1, 0)], axis=1)
-    for i in range(5):
-        b_miss = (rem >> (4 - i)) & 1
-        b = jnp.where(is_hit, jnp.where(i < 2, hit_bits[:, jnp.minimum(i, 1)], 0), b_miss)
-        cond = jnp.where(is_hit, (i == 0) | ((i == 1) & (hit > 0)), True)
-        ops, val, slot = put(ops, val, slot, sim.KIND_BYPASS, zero, b, cond)
+    # hit: two 1-bin bypass ops [hit>0][hit-1]; miss: ONE 5-bin bypass chunk
+    # (the reference emits rem via a single CABACputBins(rem, 5))
+    op_a = jnp.where(is_hit,
+                     sim.KIND_BYPASS + (1 << 2) + ((hit > 0).astype(jnp.int32) << 6),
+                     sim.KIND_BYPASS + (5 << 2) + ((rem & 31) << 6))
+    ops = ops.at[:, slot].set(op_a)
+    val = val.at[:, slot].set(t)
+    slot += 1
+    op_b = sim.KIND_BYPASS + (1 << 2) + (jnp.maximum(hit - 1, 0) << 6)
+    ops = ops.at[:, slot].set(op_b)
+    val = val.at[:, slot].set(is_hit & (hit > 0))
+    slot += 1
     # uv pmode (always bin 0, src/HEVCe.c:1021-1023)
     ops, val, slot = put(ops, val, slot, sim.KIND_CTX, zero + cb.CTX_UV_PMODE, zero, t)
     # split_tu flag (src/HEVCe.c:1026-1033)
@@ -495,7 +518,8 @@ def put_coef_rates(sz: int, qpd6: int, pmode, blk, cap=None):
     get rate 0. Overflowing lanes (pathological op counts) need host fallback.
     """
     if cap is None:
-        cap = {4: 768, 8: 1536, 16: 4096, 32: 12288}[sz]
+        # worst-case op counts with chunked bypass runs — overflow-free
+        cap = {4: 256, 8: 512, 16: 2048, 32: 7168}[sz]
     # step-4 semantics: zero blocks still encode a (0,0) last-XY
     ops, valid = generate_put_coef_ops(sz, pmode, blk, code_zero_blocks=True)
     packed, overflow, nops = compact_ops(ops, valid, cap)

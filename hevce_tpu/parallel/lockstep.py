@@ -49,7 +49,8 @@ def _view(lib, handle, which, dtype, count):
                                  shape=(count,))
 
 
-_NODE_CAPS = {8: 2048, 16: 5120, 32: 14336}
+# worst-case op counts per trial (chunked bypass format) — overflow-free
+_NODE_CAPS = {8: 768, 16: 2048, 32: 7168}
 
 
 @functools.lru_cache(maxsize=None)
@@ -125,7 +126,7 @@ def _jit_pu_step(qpd6: int):
         B = q1.shape[0]
         blks = q1.reshape(B * MODES, 4, 4)
         pms = jnp.tile(jnp.arange(MODES, dtype=jnp.int32), B)
-        rates, overflow = co.put_coef_rates(4, qpd6, pms, blks, cap=768)
+        rates, overflow = co.put_coef_rates(4, qpd6, pms, blks, cap=256)
         rates = jnp.where(overflow, -1, rates).reshape(B, MODES)
         return q1, r1, s1, rates
 

@@ -12,7 +12,7 @@ def _ctxs_for(qpd6_list):
 
 
 def _trace_ops(g, t):
-    """expand one golden op trace to packed per-bit ops."""
+    """pack one golden op trace (bypass runs chunked by 8, like the coder)."""
     ops = []
     for i in range(g["kind"].shape[1]):
         kind = int(g["kind"][t, i])
@@ -20,9 +20,8 @@ def _trace_ops(g, t):
         if kind == 0:
             ops.append(sim.pack_op(sim.KIND_CTX, a, b))
         elif kind == 1:
-            bins, length = a & ((1 << b) - 1), b
-            for j in range(length - 1, -1, -1):
-                ops.append(sim.pack_op(sim.KIND_BYPASS, 0, (bins >> j) & 1))
+            for v, l in sim.split_bypass(a, b):
+                ops.append(sim.pack_bypass(v, l))
         else:
             ops.append(sim.pack_op(sim.KIND_TERM, 0, 0))
     return ops
