@@ -88,3 +88,21 @@ def test_lockstep_with_device_node_rates(golden):
     streams, rcons = encode_batch([img2], 2, node_rates=True)
     assert streams[0] == s2
     np.testing.assert_array_equal(rcons[0], r2)
+
+
+def test_edge_case_images():
+    """flat, extreme-value, and single-CTU-strip images vs the Python engine
+    (both engines are independently validated vs the reference oracle)"""
+    from hevce_tpu.models.encoder import encode_image
+    cases = [
+        np.zeros((32, 32), np.uint8),
+        np.full((32, 32), 255, np.uint8),
+        np.tile(np.array([[0, 255]], np.uint8), (32, 16)),  # max-contrast checker cols
+        np.arange(32 * 96, dtype=np.int64).reshape(32, 96).astype(np.uint8),
+    ]
+    for i, img in enumerate(cases):
+        for q in (0, 4):
+            s_cc, r_cc = encode_image_native(img, q)
+            s_py, r_py = encode_image(img, q)
+            assert s_cc == s_py, f"case {i} q{q}"
+            np.testing.assert_array_equal(r_cc, r_py)
