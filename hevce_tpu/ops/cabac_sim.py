@@ -8,12 +8,11 @@ the 142-entry context vector; the byte sink is simulated by COUNTING bytes
 which is all `CABAClen` needs (src/HEVCe.c:835-837).
 
 Two exactness notes:
-  * bypass runs are expanded to one bin per step. This changes *when* the
-    low-register refill fires relative to the reference's <=8-bin chunks, but
-    refills always extract the same 8-bit groups in the same order, so total
-    bit length 8*(nbytes+outstanding)+23-nbits and the context evolution are
-    invariant; only transient (low, nbits) bookkeeping differs. RD decisions
-    use length deltas only, and winners are re-encoded by the host packer.
+  * bypass runs are processed up to 8 bins per step with the reference's own
+    CABACputBins chunking, so low/nbits evolution is chunk-identical. (Even
+    a different chunking would be exact for rates: refills always extract
+    the same 8-bit groups in the same order, so the bit length and context
+    evolution are invariant and states resync at op boundaries.)
   * emulation-prevention byte counting over a run of k identical carry-fill
     bytes uses a closed form of the zero-run automaton (z in {0,1,2}).
 
