@@ -171,7 +171,7 @@ def _step(state, op):
     # --- context-coded bin (src/HEVCe.c:914-933); table lookups are
     # bit-sliced and the context vector is accessed via one-hot arithmetic
     # (dynamic gather/scatter lowers pathologically on this backend)
-    onehot = (cidx[:, None] == jnp.arange(NUM_CTX)[None, :]).astype(jnp.int32)
+    onehot = (cidx[:, None] == jnp.arange(ctxs.shape[1])[None, :]).astype(jnp.int32)
     v = (ctxs * onehot).sum(axis=1)
     lps = _lookup(_LPS_PLANES, (v >> 1) * 4 + ((rng >> 6) & 3))
     r1 = rng - lps

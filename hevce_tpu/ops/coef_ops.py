@@ -399,6 +399,56 @@ def compact_ops(ops, valid, cap: int):
     return out[:, :cap], total > cap, jnp.minimum(total, cap)
 
 
+@functools.lru_cache(maxsize=None)
+def _palette(sz: int, full_trial: bool):
+    """static context palette: the set of ctx indices a trial at this size can
+    touch (~60-70 of 142). Simulating over the palette instead of the full
+    vector roughly halves the per-bin one-hot work (ROADMAP Phase B).
+
+    Returns (palette (P,), remap (142,)): palette[p] = full ctx index,
+    remap[full] = palette slot (unreachable -> 0, never emitted)."""
+    idxs = set()
+    # a full trial codes residuals at size sz (single TU) AND sz/2 (TU split)
+    for s in ((sz, sz // 2) if full_trial and sz > 4 else (sz,)):
+        T = _tables(s)
+        gmax = int(syn.GROUP_INDEX[s - 1])
+        addr = int(syn._LAST_ADDR[0][s // 8])
+        sft = int(syn._LAST_SFT[0][s // 8])
+        idxs.update((cb.CTX_SIG_SC + v) for v in np.unique(T["sig_idx"]).tolist())
+        for g in range(gmax + 1):
+            idxs.add(cb.CTX_LAST_X + 5 * addr + (g >> sft))
+            idxs.add(cb.CTX_LAST_Y + 5 * addr + (g >> sft))
+    idxs.update(cb.CTX_SIG_MAP + k for k in (0, 1))
+    idxs.update(cb.CTX_ONE_SC + k for k in range(16))      # luma ctx_set 0..3
+    idxs.update(cb.CTX_ABS_SC + k for k in range(4))
+    if full_trial:
+        idxs.update(cb.CTX_SPLIT_CU + k for k in range(3))
+        idxs.update((cb.CTX_PARTSIZE, cb.CTX_Y_PMODE, cb.CTX_UV_PMODE))
+        idxs.update(cb.CTX_SPLIT_TU + k for k in range(3))
+        idxs.update(cb.CTX_Y_QT_CBF + k for k in (0, 1))
+        idxs.add(cb.CTX_UV_QT_CBF)
+    palette = np.array(sorted(idxs), np.int32)
+    remap = np.zeros(256, np.int32)
+    remap[palette] = np.arange(len(palette), dtype=np.int32)
+    return palette, remap
+
+
+def remap_ctx_ops(ops, remap_np):
+    """rewrite the ctx-index field of context-coded ops into palette slots
+    (bit-sliced lookup over the static 256-entry remap; gather-free)."""
+    kind = ops & 3
+    cidx = (ops >> 2) & 0xFF
+    planes = _remap_planes(remap_np.tobytes())
+    new_cidx = sim._lookup(planes, cidx)
+    rebuilt = sim.KIND_CTX | (new_cidx << 2) | (ops & (1 << 10))
+    return jnp.where(kind == sim.KIND_CTX, rebuilt, ops)
+
+
+@functools.lru_cache(maxsize=None)
+def _remap_planes(remap_bytes: bytes):
+    return sim._bitsliced(np.frombuffer(remap_bytes, np.int32), 7)
+
+
 def _mpm3(left, above):
     """vectorized 3-entry MPM derivation (src/HEVCe.c:958-977); (lanes,) ints."""
     third_neq = jnp.where((left != 0) & (above != 0), 0,
@@ -522,7 +572,10 @@ def put_coef_rates(sz: int, qpd6: int, pmode, blk, cap=None):
         cap = {4: 256, 8: 512, 16: 2048, 32: 7168}[sz]
     # step-4 semantics: zero blocks still encode a (0,0) last-XY
     ops, valid = generate_put_coef_ops(sz, pmode, blk, code_zero_blocks=True)
+    palette, remap = _palette(sz, full_trial=False)
+    ops = remap_ctx_ops(ops, remap)
     packed, overflow, nops = compact_ops(ops, valid, cap)
     state = sim.initial_state(blk.shape[0], qpd6)
+    state["ctxs"] = state["ctxs"][:, palette]
     final = sim.simulate_chunked(state, packed, nops)
     return jnp.asarray(sim.bit_len(final), jnp.int32), overflow

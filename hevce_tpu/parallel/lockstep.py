@@ -80,22 +80,23 @@ def _jit_node_step(sz: int, qpd6: int):
         pm = jnp.tile(jnp.arange(MODES, dtype=jnp.int32), B)
         pml, pma = rep(meta[:, 0]), rep(meta[:, 1])
         gl, ga = rep(meta[:, 2]).astype(bool), rep(meta[:, 3]).astype(bool)
+        palette, remap = co._palette(sz, full_trial=True)
         fork = dict(rng=rep(state7[:, 0]), low=rep(state7[:, 1]),
                     nbits=rep(state7[:, 2]), outstanding=rep(state7[:, 3]),
                     bufbyte=rep(state7[:, 4]), zrun=rep(state7[:, 5]),
-                    nbytes=rep(state7[:, 6]), ctxs=rep(fctxs))
+                    nbytes=rep(state7[:, 6]), ctxs=rep(fctxs)[:, palette])
         base = sim.bit_len(fork)
 
         ops2, val2 = co.generate_cu_2nx2n_ops(
             sz, pm, pml, pma, gl, ga, q1.reshape(B * MODES, sz, sz))
-        packed2, ovf2, n2 = co.compact_ops(ops2, val2, cap)
+        packed2, ovf2, n2 = co.compact_ops(co.remap_ctx_ops(ops2, remap), val2, cap)
         rates2 = sim.bit_len(sim.simulate_chunked(fork, packed2, n2)) - base
         rates2 = jnp.where(ovf2, -1, rates2).astype(jnp.int32)
 
         h = sz // 2
         ops3, val3 = co.generate_cu_tusplit_ops(
             sz, pm, pml, pma, gl, ga, q4.reshape(B * MODES, 4, h, h))
-        packed3, ovf3, n3 = co.compact_ops(ops3, val3, cap)
+        packed3, ovf3, n3 = co.compact_ops(co.remap_ctx_ops(ops3, remap), val3, cap)
         rates3 = sim.bit_len(sim.simulate_chunked(fork, packed3, n3)) - base
         rates3 = jnp.where(ovf3, -1, rates3).astype(jnp.int32)
 
