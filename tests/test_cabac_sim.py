@@ -61,3 +61,27 @@ def test_simulator_put_coef_rates(golden):
     got = np.asarray(sim.bit_len(final))
     np.testing.assert_array_equal(got, g["length"], err_msg="fresh-coder putCoef rates")
     np.testing.assert_array_equal(np.asarray(final["ctxs"]), g["ctxs"].astype(np.int32))
+
+
+def test_pallas_kernel_matches_simulate():
+    """Pallas scan kernel (interpret mode) == the validated jnp simulator."""
+    from hevce_tpu.ops import cabac_pallas as cp
+    rng = np.random.default_rng(1)
+    lanes, L = cp.TILE, 128
+    ops = np.full((lanes, L), sim.KIND_NOP, np.int32)
+    for lane in range(lanes):
+        for t in range(int(rng.integers(8, L))):
+            k = rng.integers(0, 3)
+            if k == 0:
+                ops[lane, t] = sim.pack_op(sim.KIND_CTX, int(rng.integers(0, 142)),
+                                           int(rng.integers(0, 2)))
+            elif k == 1:
+                ln = int(rng.integers(1, 9))
+                ops[lane, t] = sim.pack_bypass(int(rng.integers(0, 1 << ln)), ln)
+            else:
+                ops[lane, t] = sim.pack_op(sim.KIND_TERM, 0, 0)
+    state = sim.initial_state(lanes, 2)
+    ref = sim.simulate(dict(state), ops)
+    got = cp.simulate_pallas(dict(state), ops, interpret=True)
+    for k in ("rng", "low", "nbits", "outstanding", "bufbyte", "zrun", "nbytes"):
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(got[k]), err_msg=k)
