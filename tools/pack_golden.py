@@ -214,3 +214,11 @@ def main():
 
 if __name__ == '__main__':
     main()
+
+
+# Regeneration: the raw .bin inputs are produced by tools/gen_golden_vectors.c,
+# a harness that #includes the reference translation unit as an oracle:
+#   cp tools/gen_golden_vectors.c /tmp/gv/ && cd /tmp/gv
+#   cp /root/reference/src/HEVCe.c /root/reference/src/HEVCe.h .
+#   gcc -O2 gen_golden_vectors.c -lm -o genvec && ./genvec .
+#   python tools/pack_golden.py /tmp/gv tests/data
