@@ -250,9 +250,15 @@ struct CabacEnc {
 
 enum { SCAN_DIAG = 0, SCAN_HOR = 1, SCAN_VER = 2 };
 
+static inline i32 sig_ctx_idx(i32 sz, bool chroma, int stype, i32 y, i32 x, i32 sctx);
+
 struct Scans {
     // scan[sz_idx][type][i] = y*sz + x  (sz_idx: 0..3 for 4/8/16/32)
     std::vector<uint16_t> tab[4][3];
+    // precomputed luma significance ctx index per scan position and
+    // neighbor-CG pattern: sig_ctx[sz_idx][type][sctx(4)][i]
+    std::vector<u8> sig[4][3][4];
+    void fill_sig_ctx();
     Scans() {
         for (int si = 0; si < 4; si++) {
             int sz = 4 << si, ncg = sz / 4;
@@ -284,7 +290,26 @@ struct Scans {
         }
     }
 };
-static const Scans SC;
+static Scans SC_mut;
+static const Scans& SC = SC_mut;
+
+void Scans::fill_sig_ctx() {
+    for (int si = 0; si < 4; si++) {
+        int sz = 4 << si;
+        for (int ty = 0; ty < 3; ty++) {
+            if (tab[si][ty].empty()) continue;
+            for (int sc = 0; sc < 4; sc++) {
+                auto& s = sig[si][ty][sc];
+                s.resize(sz * sz);
+                for (int i = 0; i < sz * sz; i++) {
+                    int p = tab[si][ty][i];
+                    s[i] = (u8)sig_ctx_idx(sz, false, ty, p / sz, p % sz, sc);
+                }
+            }
+        }
+    }
+}
+static const bool SC_init = [] { SC_mut.fill_sig_ctx(); return true; }();
 
 static inline int scan_select(int sz, int pmode, const uint16_t** scan) {
     int si = sz == 4 ? 0 : sz == 8 ? 1 : sz == 16 ? 2 : 3;
@@ -426,6 +451,8 @@ static void put_coef(CabacEnc& e, CtxSet& c, i32 sz, bool chroma, i32 pmode, con
     const uint16_t* scan;
     int stype = scan_select(sz, pmode, &scan);
     i32 ncg = sz / 4;
+    int si = sz == 4 ? 0 : sz == 8 ? 1 : sz == 16 ? 2 : 3;
+    const u8* sigtab = SC.sig[si][stype][0].data();   // re-picked per CG
 
     bool sig_map[8][8] = {};
     i32 i_last = 0;
@@ -455,13 +482,14 @@ static void put_coef(CabacEnc& e, CtxSet& c, i32 sz, bool chroma, i32 pmode, con
             bool right = xcg < ncg - 1 && sig_map[ycg][xcg + 1];
             bool below = ycg < ncg - 1 && sig_map[ycg + 1][xcg];
             sctx = ((i32)below << 1) | (i32)right;
+            sigtab = SC.sig[si][stype][sctx].data();
             nnz = 0;
             signs = 0;
             if (!first_cg && !is_final)
                 e.bin(&c.v[CTX_SIG_MAP + (sctx != 0)], sig_cg);
         }
         if (!is_final && (first_cg || (sig_cg && (!first_in_cg || nnz > 0)))) {
-            i32 idx = sig_ctx_idx(sz, chroma, stype, y, x, sctx);
+            i32 idx = chroma ? sig_ctx_idx(sz, chroma, stype, y, x, sctx) : sigtab[i];
             e.bin(&c.v[CTX_SIG_SC + idx], v != 0);
         }
         if (v != 0) {
