@@ -6,8 +6,8 @@ Baseline: reference C encoder measured at 0.044 MP/s on this host
 (BASELINE.md: Kodak-24 @ qpd6=2, single core).
 
 The encode path benchmarked here is the production bit-exact path (native
-host engine; device math offload lands next round). Set HEVCE_BENCH_FULL=1
-to sweep all 24 Kodak images instead of the default 6-image subset.
+host engine). Sweeps the full 24-image Kodak set by default; set
+HEVCE_BENCH_QUICK=1 for a 6-image smoke run (relabeled accordingly).
 """
 import glob
 import json
@@ -24,7 +24,8 @@ def main():
     files = sorted(glob.glob("/root/reference/testimage/*.pgm"))
     if not files:
         files = sorted(glob.glob("tests/data/kodak/*.pgm"))
-    if not os.environ.get("HEVCE_BENCH_FULL"):
+    quick = bool(os.environ.get("HEVCE_BENCH_QUICK"))
+    if quick:
         files = files[:6]
 
     imgs = [read_pgm(f) for f in files]
@@ -41,8 +42,11 @@ def main():
     dt = time.time() - t0
     mps = npix / 1e6 / dt
 
+    name = "bit-exact Kodak-24 encode throughput @ qpd6=2"
+    if quick:
+        name = "bit-exact Kodak (6-image subset) encode throughput @ qpd6=2"
     print(json.dumps({
-        "metric": "bit-exact Kodak encode throughput @ qpd6=2",
+        "metric": name,
         "value": round(mps, 4),
         "unit": "MP/s",
         "vs_baseline": round(mps / BASELINE_MPS, 2),

@@ -879,6 +879,17 @@ static void dequantize(i32 qpd6, i32 sz, const i32* src, i32* dst) {
 
 struct MathProvider;
 
+// worst-case stream capacity for a padded yszn x xszn image: the reference
+// bounds each CTU's entropy payload by TMPBUF_LEN = 3*CTU^2+128 bytes
+// (reference src/HEVCe.c:795-806, incl. emulation-prevention inserts), i.e.
+// 3.125 B/pixel, plus headers/terminators. A 512x512 noise image at qpd6=0
+// really does exceed 1 B/pixel (343,218 B measured), so the old
+// pixels + 64KiB sizing was a heap overflow on valid input.
+static inline size_t stream_capacity(i32 yszn, i32 xszn) {
+    size_t px = (size_t)yszn * xszn;
+    return px * 3 + px / 8 + (1 << 16);
+}
+
 struct EncState {
     i32 qpd6;
     i32 ysz0, xsz0;        // unpadded dims (original-pixel clamping)
@@ -1362,7 +1373,7 @@ static void write_headers(std::vector<u8>& out, i32 qpd6, i32 ysz, i32 xsz) {
 }
 
 static i64 encode(const u8* img, i32* ysz, i32* xsz, i32 qpd6, u8* stream, u8* rcon_out,
-                  MathProvider* mp = nullptr) {
+                  MathProvider* mp = nullptr, size_t stream_cap = 0) {
     LocalMathProvider local;
     EncState st;
     st.mp = mp ? mp : &local;
@@ -1401,6 +1412,7 @@ static i64 encode(const u8* img, i32* ysz, i32* xsz, i32 qpd6, u8* stream, u8* r
     st.enc.finish();
     out.insert(out.end(), st.arena.begin(), st.arena.end());
 
+    if (stream_cap && out.size() > stream_cap) return -2;  // caller buffer too small
     std::memcpy(stream, out.data(), out.size());
     for (i32 i = 0; i < st.yszn; i++)
         std::memcpy(rcon_out + (size_t)i * st.xszn, &st.rcon[(size_t)i * st.xszn], st.xszn);
@@ -1570,10 +1582,10 @@ struct BatchMathProvider final : MathProvider {
 static void batch_worker(BatchEngine* be, i32 slot) {
     BatchMathProvider mp(be, slot);
     i32 y = be->ysz, x = be->xsz;
-    std::vector<u8> stream((size_t)be->yszn * be->xszn + (1 << 16));
+    std::vector<u8> stream(stream_capacity(be->yszn, be->xszn));
     std::vector<u8> rcon((size_t)be->yszn * be->xszn);
     i64 n = encode(be->imgs + (size_t)slot * be->ysz * be->xsz, &y, &x, be->qpd6,
-                   stream.data(), rcon.data(), &mp);
+                   stream.data(), rcon.data(), &mp, stream.size());
     stream.resize((size_t)n);
     be->streams[slot] = std::move(stream);
     be->rcons[slot] = std::move(rcon);
@@ -1591,10 +1603,10 @@ struct NativeBatch {
     void run(i32 slot) {
         i32 y = ysz, x = xsz;
         i32 yp = (ysz + CTU - 1) / CTU * CTU, xp = (xsz + CTU - 1) / CTU * CTU;
-        std::vector<u8> stream((size_t)yp * xp + (1 << 16));
+        std::vector<u8> stream(stream_capacity(yp, xp));
         std::vector<u8> rcon((size_t)yp * xp);
         i64 len = encode(imgs + (size_t)slot * ysz * xsz, &y, &x, qpd6,
-                         stream.data(), rcon.data(), nullptr);
+                         stream.data(), rcon.data(), nullptr, stream.size());
         stream.resize((size_t)len);
         streams[slot] = std::move(stream);
         rcons[slot] = std::move(rcon);
@@ -1625,13 +1637,24 @@ static void native_batch_encode(NativeBatch& nb, i32 nthreads) {
 extern "C" {
 
 // mirrors the reference contract HEVCImageEncoder (reference src/HEVCe.h:5-12)
+// plus an explicit stream_out capacity: returns -2 (no write) if the encoded
+// stream would exceed it. Pass stream_cap=0 to skip the check (trusted caller
+// sized from hevce_stream_capacity).
 long long hevce_encode(const uint8_t* img, int* ysz, int* xsz, int qpd6,
-                       uint8_t* stream_out, uint8_t* rcon_out) {
+                       uint8_t* stream_out, long long stream_cap,
+                       uint8_t* rcon_out) {
     if (qpd6 < 0 || qpd6 > 4 || *ysz <= 0 || *xsz <= 0) return -1;
-    return hevce::encode(img, ysz, xsz, qpd6, stream_out, rcon_out);
+    return hevce::encode(img, ysz, xsz, qpd6, stream_out, rcon_out, nullptr,
+                         (size_t)stream_cap);
 }
 
-int hevce_version() { return 10; }
+// worst-case stream bytes for one (unpadded) ysz x xsz image
+long long hevce_stream_capacity(int ysz, int xsz) {
+    int yp = (ysz + 31) / 32 * 32, xp = (xsz + 31) / 32 * 32;
+    return (long long)hevce::stream_capacity(yp, xp);
+}
+
+int hevce_version() { return 11; }
 
 // --- lockstep batch API -----------------------------------------------------
 
@@ -1706,18 +1729,21 @@ void hevce_batch_destroy(void* h) {
 }
 
 // pure-native parallel batch encode over nthreads host workers.
-// imgs: n contiguous (ysz, xsz) images; out buffers sized n * padded dims;
-// lens_out: n entries. Returns 0 on success.
+// imgs: n contiguous (ysz, xsz) images; streams_out is n slots of
+// stream_cap bytes each (size with hevce_stream_capacity); rcons_out is
+// n * padded dims; lens_out: n entries. Returns 0 on success, -2 if any
+// stream exceeds stream_cap (nothing is written past a slot).
 int hevce_encode_many(const uint8_t* imgs, int n, int ysz, int xsz, int qpd6,
-                      int nthreads, uint8_t* streams_out, long long* lens_out,
-                      uint8_t* rcons_out) {
+                      int nthreads, uint8_t* streams_out, long long stream_cap,
+                      long long* lens_out, uint8_t* rcons_out) {
     if (n <= 0 || qpd6 < 0 || qpd6 > 4 || ysz <= 0 || xsz <= 0) return -1;
     hevce::NativeBatch nb;
     nb.imgs = imgs; nb.n = n; nb.ysz = ysz; nb.xsz = xsz; nb.qpd6 = qpd6;
     hevce::native_batch_encode(nb, nthreads < 1 ? 1 : nthreads);
     int yp = (ysz + 31) / 32 * 32, xp = (xsz + 31) / 32 * 32;
-    size_t cap = (size_t)yp * xp + (1 << 16);
+    size_t cap = (size_t)stream_cap;
     for (int i = 0; i < n; i++) {
+        if (nb.streams[i].size() > cap) return -2;
         lens_out[i] = (long long)nb.streams[i].size();
         std::memcpy(streams_out + (size_t)i * cap, nb.streams[i].data(),
                     nb.streams[i].size());

@@ -147,7 +147,7 @@ def encode_batch(images, qpd6: int, node_rates: bool = None):
     """
     if node_rates is None:
         node_rates = os.environ.get("HEVCE_NODE_RATES", "0") == "1"
-    images = [np.ascontiguousarray(im, np.uint8) for im in images]
+    images = [native._clip_dims(im) for im in images]
     shape = images[0].shape
     assert all(im.shape == shape for im in images), "batch must share dims"
     B = len(images)

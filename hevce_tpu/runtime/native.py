@@ -33,9 +33,30 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_uint8)]
         _lib = lib
         return lib
+
+
+def stream_capacity(ysz: int, xsz: int) -> int:
+    """Worst-case stream bytes for one image: the reference bounds each CTU's
+    entropy payload by 3*CTU^2+128 B (reference src/HEVCe.c:795-806), i.e.
+    3.125 B/pixel of padded area, plus headers. Streams CAN exceed
+    1 B/pixel (512x512 noise @ qpd6=0 measures ~1.31 B/px)."""
+    yp, xp = -(-ysz // 32) * 32, -(-xsz // 32) * 32
+    return 3 * yp * xp + yp * xp // 8 + (1 << 16)
+
+
+def _clip_dims(img: np.ndarray) -> np.ndarray:
+    """Clamp to the 8192x8192 engine maximum BEFORE handing the buffer to C:
+    the native engine indexes with its clamped xsz as the row stride, so an
+    oversized image must be sliced host-side to keep strides consistent
+    (reference clamps at src/HEVCe.c:1581-1582 but keeps the true stride
+    via GET2D; we slice instead)."""
+    if img.shape[0] > 8192 or img.shape[1] > 8192:
+        img = img[:8192, :8192]
+    return np.ascontiguousarray(img, np.uint8)
 
 
 def encode_many_native(imgs, qpd6: int, nthreads: int = 0):
@@ -46,21 +67,22 @@ def encode_many_native(imgs, qpd6: int, nthreads: int = 0):
     Returns (list of stream bytes, list of recon arrays (padded dims)).
     """
     import os as _os
-    imgs = [np.ascontiguousarray(im, np.uint8) for im in imgs]
+    imgs = [_clip_dims(im) for im in imgs]
     shape = imgs[0].shape
     assert all(im.shape == shape for im in imgs)
     assert 0 <= qpd6 <= 4
     n = len(imgs)
     ysz, xsz = shape
     yp, xp = -(-ysz // 32) * 32, -(-xsz // 32) * 32
-    cap = yp * xp + (1 << 16)
+    cap = stream_capacity(ysz, xsz)
     lib = _load()
     if not hasattr(lib.hevce_encode_many, "_bound"):
         lib.hevce_encode_many.restype = ctypes.c_int
         lib.hevce_encode_many.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong),
             ctypes.POINTER(ctypes.c_uint8)]
         lib.hevce_encode_many._bound = True
     blob = np.concatenate([im.reshape(-1) for im in imgs])
@@ -70,7 +92,7 @@ def encode_many_native(imgs, qpd6: int, nthreads: int = 0):
     rc = lib.hevce_encode_many(
         blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, ysz, xsz, qpd6,
         nthreads or (_os.cpu_count() or 1),
-        streams.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        streams.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
         rcons.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if rc != 0:
@@ -87,17 +109,18 @@ def encode_image_native(img: np.ndarray, qpd6: int):
     assert img.dtype == np.uint8 and img.ndim == 2
     assert 0 <= qpd6 <= 4
     lib = _load()
-    img = np.ascontiguousarray(img)
+    img = _clip_dims(img)
     ysz = ctypes.c_int(img.shape[0])
     xsz = ctypes.c_int(img.shape[1])
     yp = -(-img.shape[0] // 32) * 32
     xp = -(-img.shape[1] // 32) * 32
-    stream = np.empty(yp * xp + (1 << 16), np.uint8)
+    cap = stream_capacity(img.shape[0], img.shape[1])
+    stream = np.empty(cap, np.uint8)
     rcon = np.empty((yp, xp), np.uint8)
     n = lib.hevce_encode(
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.byref(ysz), ctypes.byref(xsz), qpd6,
-        stream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        stream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
         rcon.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if n < 0:
         raise ValueError("hevce_encode failed")

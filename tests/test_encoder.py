@@ -65,6 +65,32 @@ def test_native_engine_noise_images(golden):
         assert stream == bytes(g[f"stream_{t}"]), f"noise case {t}"
 
 
+def test_stream_exceeding_one_byte_per_pixel():
+    """Regression (ADVICE r1, high): a 512x512 noise image at qpd6=0 encodes
+    to 343,218 B — beyond the old padded_pixels + 64KiB output cap — which
+    used to heap-overflow the final memcpy. Expected bytes verified against
+    the reference binary (gcc -O3 /root/reference/src/*.c) on this input."""
+    import hashlib
+    rng = np.random.RandomState(1234)
+    img = rng.randint(0, 256, (512, 512), np.uint8)
+    stream, _ = encode_image_native(img, 0)
+    assert len(stream) == 343218
+    assert hashlib.sha256(stream).hexdigest() == (
+        "084db68f454793b4d41cee87108235645bd8ecd22b1de258e079ddd4c5b8ba47")
+
+
+def test_oversized_image_is_clipped_consistently():
+    """Regression (ADVICE r1, low): images wider/taller than the 8192 engine
+    max must be sliced host-side so the C engine's row stride stays
+    consistent. 8200-wide strip == its 8192-wide slice's stream."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (32, 8200)).astype(np.uint8)
+    s_big, r_big = encode_image_native(img, 4)
+    s_ref, r_ref = encode_image_native(np.ascontiguousarray(img[:, :8192]), 4)
+    assert s_big == s_ref
+    np.testing.assert_array_equal(r_big, r_ref)
+
+
 def test_lockstep_batch_matches_sequential(golden):
     from hevce_tpu.parallel.lockstep import encode_batch
     g = golden("images")
