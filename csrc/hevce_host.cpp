@@ -1680,7 +1680,11 @@ void hevce_batch_supply(void* h) {
 // shared buffer base pointers: 0 req_top(i32 Bx65), 1 req_left(i32 Bx64),
 // 2 req_flags(u8 Bx4), 3 req_orig(i32 Bx1024), 4 res_quant(i32 Bx35x1024),
 // 5 res_recon(u8 Bx35x1024), 6 res_sse(i32 Bx35), 7 res_quant4(i32 Bx35x1024),
-// 8 res_recon4(u8 Bx35x1024), 9 res_sse4(i32 Bx35)
+// 8 res_recon4(u8 Bx35x1024), 9 res_sse4(i32 Bx35),
+// 10 res_rates(i32 Bx35, PU fresh-coder rates), 11 res_rates2(i32 Bx35,
+// step-2 trial rates vs fork state), 12 res_rates3(i32 Bx35, step-3),
+// 13 req_state(i32 Bx7 coder fork scalars), 14 req_ctxs(i32 Bx142 context
+// values), 15 req_meta(i32 Bx4: pml, pma, gl, ga)
 void* hevce_batch_buf(void* h, int which) {
     auto* be = static_cast<hevce::BatchEngine*>(h);
     switch (which) {

@@ -134,7 +134,7 @@ def _jit_pu_step(qpd6: int):
     return jax.jit(step)
 
 
-def encode_batch(images, qpd6: int, node_rates: bool = None):
+def encode_batch(images, qpd6: int, node_rates: bool = None, timer=None):
     """Encode a list of same-shaped uint8 grayscale images bit-exactly.
 
     Returns (list of stream bytes, list of recon arrays (padded dims)).
@@ -144,9 +144,20 @@ def encode_batch(images, qpd6: int, node_rates: bool = None):
     until the Pallas CABAC scan kernel lands — the jnp scan step costs
     ~0.14 ms on v5e, so device rates are slower than host trials for now
     (measured 9.4k rates/s vs ~1M/s host). PU rates are always fused (cheap).
+
+    timer: optional utils.tracing.PhaseTimer accumulating the per-phase
+    breakdown (host_arbiter / device_math / writeback / finish). Setting
+    HEVCE_TRACE=1 creates one and prints the report to stderr on return.
     """
     if node_rates is None:
         node_rates = os.environ.get("HEVCE_NODE_RATES", "0") == "1"
+    trace_env = timer is None and os.environ.get("HEVCE_TRACE", "0") == "1"
+    if trace_env:
+        from hevce_tpu.utils.tracing import PhaseTimer
+        timer = PhaseTimer()
+    if timer is None:
+        from hevce_tpu.utils.tracing import PhaseTimer
+        timer = PhaseTimer()    # negligible overhead; keeps the code single-path
     images = [native._clip_dims(im) for im in images]
     shape = images[0].shape
     assert all(im.shape == shape for im in images), "batch must share dims"
@@ -182,7 +193,8 @@ def encode_batch(images, qpd6: int, node_rates: bool = None):
     ok = False
     try:
         while True:
-            kind = lib.hevce_batch_next(handle, ctypes.byref(szv))
+            with timer.phase("host_arbiter"):
+                kind = lib.hevce_batch_next(handle, ctypes.byref(szv))
             if kind == KIND_DONE:
                 break
             sz = szv.value
@@ -192,46 +204,62 @@ def encode_batch(images, qpd6: int, node_rates: bool = None):
             flags = req_flags.astype(bool)
             orig = req_orig[:, :nn].reshape(B, sz, sz)
             if kind == KIND_NODE:
-                if node_rates:
-                    out = _jit_node_step(sz, qpd6)(
-                        top, left, flags, orig,
-                        req_state.copy(), req_ctxs.copy(), req_meta.copy())
-                    q1, r1, s1, q4, r4, s4, rates2, rates3 = out
-                    res_rates2[:] = np.asarray(rates2).reshape(-1)
-                    res_rates3[:] = np.asarray(rates3).reshape(-1)
-                else:
-                    q1, r1, s1 = cu_eval.jit_eval_2nx2n(sz, qpd6)(
-                        top, left, flags, orig)
-                    q4, r4, s4 = cu_eval.jit_eval_tusplit(sz, qpd6)(
-                        top, left, flags, orig)
-                    res_rates2[:] = -1
-                    res_rates3[:] = -1
-                res_quant[:B * MODES * nn] = np.asarray(q1).reshape(-1)
-                res_recon[:B * MODES * nn] = np.asarray(r1, np.uint8).reshape(-1)
-                res_sse[:] = np.asarray(s1).reshape(-1)
-                res_quant4[:B * MODES * nn] = np.asarray(q4).reshape(-1)
-                res_recon4[:B * MODES * nn] = np.asarray(r4, np.uint8).reshape(-1)
-                res_sse4[:] = np.asarray(s4).reshape(-1)
+                with timer.phase(f"device_math_node{sz}"):
+                    import jax
+                    if node_rates:
+                        out = jax.block_until_ready(_jit_node_step(sz, qpd6)(
+                            top, left, flags, orig,
+                            req_state.copy(), req_ctxs.copy(), req_meta.copy()))
+                        q1, r1, s1, q4, r4, s4, rates2, rates3 = out
+                    else:
+                        q1, r1, s1 = jax.block_until_ready(
+                            cu_eval.jit_eval_2nx2n(sz, qpd6)(
+                                top, left, flags, orig))
+                        q4, r4, s4 = jax.block_until_ready(
+                            cu_eval.jit_eval_tusplit(sz, qpd6)(
+                                top, left, flags, orig))
+                        rates2 = rates3 = None
+                with timer.phase("writeback"):
+                    if node_rates:
+                        res_rates2[:] = np.asarray(rates2).reshape(-1)
+                        res_rates3[:] = np.asarray(rates3).reshape(-1)
+                    else:
+                        res_rates2[:] = -1
+                        res_rates3[:] = -1
+                    res_quant[:B * MODES * nn] = np.asarray(q1).reshape(-1)
+                    res_recon[:B * MODES * nn] = np.asarray(r1, np.uint8).reshape(-1)
+                    res_sse[:] = np.asarray(s1).reshape(-1)
+                    res_quant4[:B * MODES * nn] = np.asarray(q4).reshape(-1)
+                    res_recon4[:B * MODES * nn] = np.asarray(r4, np.uint8).reshape(-1)
+                    res_sse4[:] = np.asarray(s4).reshape(-1)
             else:  # PU event: 4x4 single-TU math + fused device rate oracle
-                q1, r1, s1, rates = _jit_pu_step(qpd6)(top, left, flags, orig)
-                res_quant[:B * MODES * 16] = np.asarray(q1).reshape(-1)
-                res_recon[:B * MODES * 16] = np.asarray(r1, np.uint8).reshape(-1)
-                res_sse[:] = np.asarray(s1).reshape(-1)
-                res_rates[:] = np.asarray(rates).reshape(-1)
+                with timer.phase("device_math_pu"):
+                    import jax
+                    q1, r1, s1, rates = jax.block_until_ready(
+                        _jit_pu_step(qpd6)(top, left, flags, orig))
+                with timer.phase("writeback"):
+                    res_quant[:B * MODES * 16] = np.asarray(q1).reshape(-1)
+                    res_recon[:B * MODES * 16] = np.asarray(r1, np.uint8).reshape(-1)
+                    res_sse[:] = np.asarray(s1).reshape(-1)
+                    res_rates[:] = np.asarray(rates).reshape(-1)
             lib.hevce_batch_supply(handle)
 
-        streams, rcons = [], []
-        for s in range(B):
-            n = lib.hevce_batch_stream(handle, s, None)
-            buf = np.empty(n, np.uint8)
-            lib.hevce_batch_stream(
-                handle, s, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-            streams.append(bytes(buf))
-            rc = np.empty((yp, xp), np.uint8)
-            lib.hevce_batch_rcon(
-                handle, s, rc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-            rcons.append(rc)
+        with timer.phase("finish"):
+            streams, rcons = [], []
+            for s in range(B):
+                n = lib.hevce_batch_stream(handle, s, None)
+                buf = np.empty(n, np.uint8)
+                lib.hevce_batch_stream(
+                    handle, s, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+                streams.append(bytes(buf))
+                rc = np.empty((yp, xp), np.uint8)
+                lib.hevce_batch_rcon(
+                    handle, s, rc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+                rcons.append(rc)
         ok = True
+        if trace_env:
+            import sys
+            print("lockstep phase breakdown:\n" + timer.report(), file=sys.stderr)
         return streams, rcons
     finally:
         if not ok:

@@ -1,6 +1,6 @@
 """Quality metrics: MSE/PSNR (reference src/HEVCeMain.c:116-133) and SSIM
 (HEVCeval.py:188 uses scikit-image; implemented here directly to avoid the
-dependency — Wang et al. SSIM with the standard 11x11 Gaussian window)."""
+dependency — skimage defaults: uniform 7x7 window, unbiased covariance)."""
 import math
 
 import numpy as np
@@ -16,16 +16,8 @@ def mse_psnr(a: np.ndarray, b: np.ndarray):
     return mse, psnr
 
 
-def _gaussian_window(size=11, sigma=1.5):
-    ax = np.arange(size) - size // 2
-    g = np.exp(-(ax ** 2) / (2.0 * sigma ** 2))
-    w = np.outer(g, g)
-    return w / w.sum()
-
-
 def _filter2(img, win):
-    # 'valid' 2-D correlation via FFT-free separable... window is not separable
-    # after normalization tweaks; use direct stride tricks for clarity.
+    # 'valid' 2-D correlation via stride tricks
     from numpy.lib.stride_tricks import sliding_window_view
     v = sliding_window_view(img, win.shape)
     return np.einsum("ijkl,kl->ij", v, win)

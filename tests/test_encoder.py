@@ -93,16 +93,22 @@ def test_oversized_image_is_clipped_consistently():
 
 def test_lockstep_batch_matches_sequential(golden):
     from hevce_tpu.parallel.lockstep import encode_batch
+    from hevce_tpu.utils.tracing import PhaseTimer
     g = golden("images")
     img2 = g["img_2"]
     rng = np.random.default_rng(3)
     other = rng.integers(0, 256, (32, 32)).astype(np.uint8)
     s2, r2 = encode_image_native(img2, 2)
     so, ro = encode_image_native(other, 2)
-    streams, rcons = encode_batch([img2, other, other], 2)
+    timer = PhaseTimer()
+    streams, rcons = encode_batch([img2, other, other], 2, timer=timer)
     assert streams[0] == s2 and streams[1] == so and streams[2] == so
     np.testing.assert_array_equal(rcons[0], r2)
     np.testing.assert_array_equal(rcons[1], ro)
+    # the tracing subsystem is wired into the driver: phases accumulated
+    assert timer.totals["host_arbiter"] > 0
+    assert any(n.startswith("device_math") for n in timer.totals)
+    assert "host_arbiter" in timer.report()
 
 
 def test_lockstep_with_device_node_rates(golden):

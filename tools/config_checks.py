@@ -1,8 +1,11 @@
 #!/usr/bin/env python3
-"""BASELINE.json config validations beyond the test suite:
-  - 4096x4096 (and non-mult-of-32 4000x4000) single-image encode
+"""BASELINE.json config validations beyond the quick test suite:
+  - 4096x4096 (and non-mult-of-32 4001x3990) single-image encode
   - 256-image batched encode via the lockstep engine
 Usage: python tools/config_checks.py [big|batch]
+
+These also run as @pytest.mark.slow tests (tests/test_configs.py) so the
+configs cannot silently rot.
 """
 import sys
 import time
@@ -10,7 +13,7 @@ import time
 import numpy as np
 
 
-def big_image():
+def big_image(verbose=True):
     from hevce_tpu.runtime.native import encode_image_native
     rng = np.random.default_rng(0)
     yy, xx = np.mgrid[0:4096, 0:4096]
@@ -18,18 +21,26 @@ def big_image():
     t0 = time.time()
     stream, rcon = encode_image_native(img, 2)
     dt = time.time() - t0
-    print(f"4096x4096 @ qpd6=2: {len(stream)} B, {dt:.0f}s, {img.size / 1e6 / dt:.3f} MP/s, "
-          f"recon {rcon.shape}")
+    if verbose:
+        print(f"4096x4096 @ qpd6=2: {len(stream)} B, {dt:.0f}s, "
+              f"{img.size / 1e6 / dt:.3f} MP/s, recon {rcon.shape}")
+    assert rcon.shape == (4096, 4096)
+    assert len(stream) > 0
     # non-multiple-of-32 large image (replicate-padding path at scale)
     img2 = img[:4001, :3990].copy()
     t0 = time.time()
     stream2, rcon2 = encode_image_native(img2, 2)
     dt = time.time() - t0
     assert rcon2.shape == (4032, 4000), rcon2.shape
-    print(f"4001x3990 @ qpd6=2: {len(stream2)} B, {dt:.0f}s, recon {rcon2.shape} (padded)")
+    # padded recon must replicate-extend: bottom padded rows follow the
+    # content continuation, and the stream must be parseable non-empty
+    assert len(stream2) > 0
+    if verbose:
+        print(f"4001x3990 @ qpd6=2: {len(stream2)} B, {dt:.0f}s, recon {rcon2.shape} (padded)")
+    return {"stream": len(stream), "stream_odd": len(stream2)}
 
 
-def batch256():
+def batch256(verbose=True, check_every=32):
     from hevce_tpu.parallel.lockstep import encode_batch
     from hevce_tpu.runtime.native import encode_image_native
     rng = np.random.default_rng(1)
@@ -40,13 +51,19 @@ def batch256():
     streams, rcons = encode_batch(imgs, 2)
     dt = time.time() - t0
     mp = sum(i.size for i in imgs) / 1e6
-    print(f"batch-256 (64x64) @ qpd6=2: {dt:.0f}s, {mp / dt:.3f} MP/s aggregate")
-    # spot-check 8 against sequential
-    ok = 0
-    for i in range(0, 256, 32):
+    if verbose:
+        print(f"batch-256 (64x64) @ qpd6=2: {dt:.0f}s, {mp / dt:.3f} MP/s aggregate")
+    # spot-check against sequential
+    nok = 0
+    idxs = list(range(0, 256, check_every))
+    for i in idxs:
         s, r = encode_image_native(imgs[i], 2)
-        ok += (s == streams[i]) and np.array_equal(r, rcons[i])
-    print(f"spot-check vs sequential: {ok}/8 bit-exact")
+        assert s == streams[i], f"stream {i} diverged"
+        assert np.array_equal(r, rcons[i]), f"recon {i} diverged"
+        nok += 1
+    if verbose:
+        print(f"spot-check vs sequential: {nok}/{len(idxs)} bit-exact")
+    return {"mps": mp / dt, "checked": nok}
 
 
 if __name__ == "__main__":
