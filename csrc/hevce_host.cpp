@@ -255,6 +255,8 @@ static inline i32 sig_ctx_idx(i32 sz, bool chroma, int stype, i32 y, i32 x, i32 
 struct Scans {
     // scan[sz_idx][type][i] = y*sz + x  (sz_idx: 0..3 for 4/8/16/32)
     std::vector<uint16_t> tab[4][3];
+    // inverse: inv[sz_idx][type][y*sz+x] = scan index (used by the decoder)
+    std::vector<uint16_t> inv[4][3];
     // precomputed luma significance ctx index per scan position and
     // neighbor-CG pattern: sig_ctx[sz_idx][type][sctx(4)][i]
     std::vector<u8> sig[4][3][4];
@@ -286,6 +288,9 @@ struct Scans {
                 for (auto& c : cg)
                     for (auto& p : in)
                         t.push_back((uint16_t)((c.first * 4 + p.first) * sz + c.second * 4 + p.second));
+                auto& v = inv[si][ty];
+                v.resize(t.size());
+                for (size_t i = 0; i < t.size(); i++) v[t[i]] = (uint16_t)i;
             }
         }
     }
@@ -1628,6 +1633,617 @@ static void native_batch_encode(NativeBatch& nb, i32 nthreads) {
     for (auto& t : ts) t.join();
 }
 
+// ---------------------------------------------------------------------------
+// Independent decoder (compliance verification; SURVEY.md §4 level 3 — the
+// reference directs users to third-party decoders, /root/reference/README.md
+// :21-22; none is installable here, so we implement the H.265 DECODING
+// process for the stream subset this encoder emits: monochrome-content
+// intra slice, CTU 32, no SAO/PCM/scaling-lists/sign-hiding/transform-skip).
+//
+// The entropy side is written in the DECODE direction against the spec
+// (RBSP unescape, SPS/PPS/slice-header parsing, arithmetic decoder over
+// offset/range, syntax parsing), so an encoder-side coder/syntax bug cannot
+// cancel out; only the standard tables and the numeric reconstruction
+// kernels (predict / dequantize / inverse transform) are shared.
+//
+// Note on deblocking: the emitted headers signal deblocking enabled with
+// beta/tc offsets 0. HEVC intra prediction always uses UNfiltered samples,
+// so for a single intra picture deblocking affects only the display output;
+// this decoder returns the pre-deblocking reconstruction, which is exactly
+// the encoder's img_rcon contract (the verification oracle).
+// ---------------------------------------------------------------------------
+
+namespace dec {
+
+struct BitReader {
+    std::vector<u8> buf;   // unescaped RBSP
+    size_t bitpos = 0;
+    bool fail = false;
+    void load(const u8* p, size_t n) {
+        buf.clear();
+        buf.reserve(n);
+        i32 zrun = 0;
+        for (size_t i = 0; i < n; i++) {
+            u8 b = p[i];
+            if (zrun >= 2 && b == 0x03) { zrun = 0; continue; }  // emulation prevention
+            buf.push_back(b);
+            zrun = (b == 0) ? zrun + 1 : 0;
+        }
+    }
+    i32 bit() {
+        size_t byte = bitpos >> 3;
+        if (byte >= buf.size()) { fail = true; return 0; }
+        i32 v = (buf[byte] >> (7 - (bitpos & 7))) & 1;
+        bitpos++;
+        return v;
+    }
+    i32 bits(i32 n) {
+        i32 v = 0;
+        for (i32 i = 0; i < n; i++) v = (v << 1) | bit();
+        return v;
+    }
+    i32 ue() {   // Exp-Golomb
+        i32 z = 0;
+        while (!fail && bit() == 0)
+            if (++z > 31) { fail = true; return 0; }
+        return ((1 << z) - 1) + (z ? bits(z) : 0);
+    }
+    i32 se() {
+        i32 k = ue();
+        return (k & 1) ? (k + 1) / 2 : -(k / 2);
+    }
+    void byte_align() { while (bitpos & 7) bitpos++; }
+};
+
+// arithmetic decoder (H.265 9.3.4.3) over the slice RBSP
+struct CabacDec {
+    const u8* p = nullptr;
+    size_t n = 0, pos = 0;
+    i32 nbit = 0;
+    i32 range = 510, offset = 0;
+    bool fail = false;
+
+    i32 rbit() {
+        if (pos >= n) { fail = true; return 0; }
+        i32 v = (p[pos] >> (7 - nbit)) & 1;
+        if (++nbit == 8) { nbit = 0; pos++; }
+        return v;
+    }
+    void init(const u8* data, size_t len) {
+        p = data; n = len; pos = 0; nbit = 0;
+        range = 510;
+        offset = 0;
+        for (i32 i = 0; i < 9; i++) offset = (offset << 1) | rbit();
+    }
+    i32 bin(u8* ctx) {
+        u8 v = *ctx;
+        i32 lps = kLpsTable[v >> 1][(range >> 6) & 3];
+        range -= lps;
+        i32 b;
+        if (offset >= range) {
+            b = 1 - (v & 1);
+            offset -= range;
+            range = lps;
+            *ctx = T.next_lps[v];
+        } else {
+            b = v & 1;
+            *ctx = T.next_mps[v];
+        }
+        while (range < 256) { range <<= 1; offset = (offset << 1) | rbit(); }
+        return b;
+    }
+    i32 bypass() {
+        offset = (offset << 1) | rbit();
+        if (offset >= range) { offset -= range; return 1; }
+        return 0;
+    }
+    i32 bypass_bits(i32 len) {
+        i32 v = 0;
+        for (i32 i = 0; i < len; i++) v = (v << 1) | bypass();
+        return v;
+    }
+    i32 terminate() {
+        range -= 2;
+        if (offset >= range) return 1;
+        if (range < 256) { range <<= 1; offset = (offset << 1) | rbit(); }
+        return 0;
+    }
+};
+
+struct DecState {
+    i32 qpd6 = 0, yszn = 0, xszn = 0;
+    std::vector<u8> rcon;
+    std::vector<u8> map_cu_sz, map_pmode;
+    i32 map_w = 0, ctu_y = 0;
+    CabacDec d;
+    CtxSet ctxs;
+    bool fail = false;
+
+    inline u8 rc(i32 y, i32 x) const {
+        y = iclip(y, 0, yszn - 1);
+        x = iclip(x, 0, xszn - 1);
+        return rcon[(size_t)y * xszn + x];
+    }
+    inline i32 mrow(i32 y) const { return 1 + (y - ctu_y) / 4; }
+    inline u8& mcu(i32 r, i32 c) { return map_cu_sz[(size_t)r * map_w + c]; }
+    inline u8& mpm(i32 r, i32 c) { return map_pmode[(size_t)r * map_w + c]; }
+};
+
+// coeff_abs_level_remaining, inverse of put_exgolomb
+static i32 read_exgolomb(CabacDec& d, i32 rparam) {
+    i32 k = 0;
+    while (!d.fail && d.bypass())
+        if (++k > 40) { d.fail = true; return 0; }
+    if (k <= 2) return (k << rparam) + d.bypass_bits(rparam);
+    i32 len = k - 3 + rparam;
+    if (len > 30) { d.fail = true; return 0; }
+    return (3 << rparam) + (1 << len) - (1 << rparam) + d.bypass_bits(len);
+}
+
+// inverse of put_last_xy: returns the scan index of the last significant coeff
+static i32 parse_last_xy(DecState& st, i32 sz, bool chroma, int stype) {
+    CabacDec& d = st.d;
+    CtxSet& c = st.ctxs;
+    int szi = sz / 8;
+    i32 addr = kLastAddr[chroma][szi], sft = kLastSft[chroma][szi];
+    i32 gmax = kGroupIdx[sz - 1];
+    i32 gx = 0, gy = 0;
+    while (gx < gmax && d.bin(&c.v[CTX_LAST_X + 5 * addr + (gx >> sft)])) gx++;
+    while (gy < gmax && d.bin(&c.v[CTX_LAST_Y + 5 * addr + (gy >> sft)])) gy++;
+    i32 tx = gx, ty = gy;
+    if (gx > 3) {
+        i32 nb = (gx - 2) >> 1;
+        tx = kMinInGroup[gx] + d.bypass_bits(nb);
+    }
+    if (gy > 3) {
+        i32 nb = (gy - 2) >> 1;
+        ty = kMinInGroup[gy] + d.bypass_bits(nb);
+    }
+    i32 y = (stype == SCAN_VER) ? tx : ty;
+    i32 x = (stype == SCAN_VER) ? ty : tx;
+    int si = sz == 4 ? 0 : sz == 8 ? 1 : sz == 16 ? 2 : 3;
+    return SC.inv[si][stype][y * sz + x];
+}
+
+// inverse of put_coef: fills blk (stride sz) from the bitstream
+static void parse_coef(DecState& st, i32 sz, bool chroma, i32 pmode, i32* blk) {
+    CabacDec& d = st.d;
+    CtxSet& c = st.ctxs;
+    const uint16_t* scan;
+    int stype = scan_select(sz, pmode, &scan);
+    i32 ncg = sz / 4;
+    int si = sz == 4 ? 0 : sz == 8 ? 1 : sz == 16 ? 2 : 3;
+    const u8* sigtab = SC.sig[si][stype][0].data();
+    std::memset(blk, 0, sizeof(i32) * sz * sz);
+
+    i32 i_last = parse_last_xy(st, sz, chroma, stype);
+    bool sig_map[8][8] = {};
+    i32 sctx = 0, c1 = 1, nnz = 0;
+    i32 pos_nz[16];
+    bool sig_cg = true;
+
+    for (i32 i = i_last; i >= 0 && !d.fail; i--) {
+        i32 p = scan[i];
+        i32 y = p / sz, x = p % sz;
+        i32 ycg = y >> 2, xcg = x >> 2;
+        bool is_final = (i == i_last);
+        bool first_cg = (ycg == 0 && xcg == 0);
+        bool first_in_cg = (i & 15) == 0;
+        bool final_in_cg = ((i & 15) == 15) || is_final;
+
+        if (final_in_cg) {
+            bool right = xcg < ncg - 1 && sig_map[ycg][xcg + 1];
+            bool below = ycg < ncg - 1 && sig_map[ycg + 1][xcg];
+            sctx = ((i32)below << 1) | (i32)right;
+            sigtab = SC.sig[si][stype][sctx].data();
+            nnz = 0;
+            if (!first_cg && !is_final)
+                sig_cg = d.bin(&c.v[CTX_SIG_MAP + (sctx != 0)]) != 0;
+            else
+                sig_cg = true;   // CG of the last coeff: flag inferred 1
+            sig_map[ycg][xcg] = sig_cg;
+        }
+
+        i32 sig;
+        if (is_final) {
+            sig = 1;
+        } else if (first_cg || (sig_cg && (!first_in_cg || nnz > 0))) {
+            i32 idx = chroma ? sig_ctx_idx(sz, chroma, stype, y, x, sctx) : sigtab[i];
+            sig = d.bin(&c.v[CTX_SIG_SC + idx]);
+        } else {
+            // not coded: inferred 1 at the first position of a signalled CG
+            // with no other significant coeff yet, else 0
+            sig = (sig_cg && first_in_cg) ? 1 : 0;
+        }
+        if (sig) {
+            if (nnz >= 16) { d.fail = true; return; }
+            pos_nz[nnz++] = p;
+        }
+
+        if (first_in_cg && nnz > 0) {
+            i32 cset = (chroma ? 4 : 0) + ((!chroma && !first_cg) ? 2 : 0) + (c1 == 0 ? 1 : 0);
+            i32 g1[8];
+            i32 c2j = -1;
+            c1 = 1;
+            for (i32 j = 0; j < 8 && j < nnz; j++) {
+                g1[j] = d.bin(&c.v[CTX_ONE_SC + 4 * cset + c1]);
+                if (g1[j]) {
+                    c1 = 0;
+                    if (c2j < 0) c2j = j;
+                } else if (c1 > 0 && c1 < 3) c1++;
+            }
+            i32 c2v = 0;
+            if (c1 == 0 && c2j >= 0) c2v = d.bin(&c.v[CTX_ABS_SC + cset]);
+            i32 signs = d.bypass_bits(nnz);
+            i32 absv[16];
+            i32 fc2 = 3, rparam = 0;
+            for (i32 j = 0; j < nnz; j++) {
+                i32 thr = (j < 8) ? fc2 : 1;
+                bool coded;
+                i32 base;
+                if (j >= 8) {
+                    coded = true;
+                    base = thr;
+                } else if (!g1[j]) {
+                    coded = false;
+                    base = 1;
+                } else if (j == c2j) {
+                    coded = (c2v == 1);
+                    base = coded ? thr : 2;
+                } else {
+                    coded = true;   // second+ greater1 coeff: threshold is 2
+                    base = thr;
+                }
+                if (coded) {
+                    i32 rem = read_exgolomb(d, rparam);
+                    absv[j] = base + rem;
+                    if (absv[j] > (3 << rparam)) rparam = rparam < 4 ? rparam + 1 : 4;
+                } else {
+                    absv[j] = base;
+                }
+                if (absv[j] >= 2) fc2 = 2;
+            }
+            for (i32 j = 0; j < nnz; j++) {
+                i32 s = (signs >> (nnz - 1 - j)) & 1;
+                blk[pos_nz[j]] = s ? -absv[j] : absv[j];
+            }
+        }
+    }
+}
+
+// inverse of put_y_pmode for one PU given its left/above modes
+struct PmodeParse {
+    i32 flag;    // prev_intra_luma_pred_flag (parsed first for all PUs)
+};
+
+static i32 parse_pmode_value(CabacDec& d, i32 flag, i32 pl, i32 pa) {
+    i32 mpm[3];
+    probable_modes(pl, pa, mpm);
+    if (flag) {
+        i32 idx = 0;
+        if (d.bypass()) idx = 1 + d.bypass();
+        return mpm[idx];
+    }
+    i32 pm = d.bypass_bits(5);
+    // undo the 3 decrements: add back in ascending mpm order
+    i32 s0 = mpm[0], s1 = mpm[1], s2 = mpm[2];
+    if (s0 > s1) std::swap(s0, s1);
+    if (s1 > s2) std::swap(s1, s2);
+    if (s0 > s1) std::swap(s0, s1);
+    if (pm >= s0) pm++;
+    if (pm >= s1) pm++;
+    if (pm >= s2) pm++;
+    return pm;
+}
+
+// predict + (optional) residual add for one TU; writes into the plane
+static void recon_tu(DecState& st, i32 y, i32 x, i32 sz,
+                     bool bll, bool blb, bool baa, bool bar,
+                     i32 pmode, const i32* coef) {
+    i32 top[1 + 2 * CTU], left[2 * CTU];
+    for (i32 j = 0; j < 1 + 2 * sz; j++) top[j] = st.rc(y - 1, x - 1 + j);
+    for (i32 i = 0; i < 2 * sz; i++) left[i] = st.rc(y + i, x - 1);
+    Borders B;
+    build_borders(sz, top, left, bll, blb, baa, bar, B);
+    u8 pred[CTU * CTU];
+    predict(sz, pmode, B, pred);
+    if (coef) {
+        i32 dq[CTU * CTU], inv[CTU * CTU];
+        dequantize(st.qpd6, sz, coef, dq);
+        inverse_transform(sz, dq, inv);
+        for (i32 i = 0; i < sz; i++)
+            for (i32 j = 0; j < sz; j++)
+                st.rcon[(size_t)(y + i) * st.xszn + x + j] =
+                    pixclip(inv[i * sz + j] + pred[i * sz + j]);
+    } else {
+        for (i32 i = 0; i < sz; i++)
+            std::memcpy(&st.rcon[(size_t)(y + i) * st.xszn + x], pred + i * sz, sz);
+    }
+}
+
+static void dec_cu(DecState& st, i32 y, i32 x, i32 sz,
+                   bool bll, bool blb, bool baa, bool bar) {
+    if (st.d.fail) return;
+    CabacDec& d = st.d;
+    CtxSet& c = st.ctxs;
+    const i32 mr = st.mrow(y), mc = 1 + x / 4;
+    const bool gl = sz > st.mcu(mr, mc - 1);
+    const bool ga = sz > st.mcu(mr - 1, mc);
+    const i32 pml = st.mpm(mr, mc - 1);
+    const i32 pma = st.mpm(mr - 1, mc);
+    const i32 ntu = sz / 4;
+
+    if (sz >= 16 && d.bin(&c.v[CTX_SPLIT_CU + (gl ? 1 : 0) + (ga ? 1 : 0)])) {
+        bool sf[4][4];
+        sub_flags(bll, blb, baa, bar, sf);
+        i32 h = sz / 2;
+        for (int k = 0; k < 4; k++)
+            dec_cu(st, y + kSubOff[k][0] * h, x + kSubOff[k][1] * h, h,
+                   sf[k][0], sf[k][1], sf[k][2], sf[k][3]);
+        return;
+    }
+
+    i32 nxn = 0;
+    if (sz == MIN_CU) nxn = d.bin(&c.v[CTX_PARTSIZE]) == 0;   // encoder: bin(nxn?0:1)
+
+    static thread_local i32 coef[CTU * CTU];
+
+    if (!nxn) {
+        i32 flag = d.bin(&c.v[CTX_Y_PMODE]);
+        i32 pm = parse_pmode_value(d, flag, pml, pma);
+        d.bin(&c.v[CTX_UV_PMODE]);                            // uv pmode (always 0)
+        i32 tsplit = 0;
+        if (sz == 32) tsplit = d.bin(&c.v[CTX_SPLIT_TU + 0]);
+        else if (sz == 16) tsplit = d.bin(&c.v[CTX_SPLIT_TU + 1]);
+        else tsplit = d.bin(&c.v[CTX_SPLIT_TU + 2]);
+        d.bin(&c.v[CTX_UV_QT_CBF + 0]);                       // cbf_cb (0)
+        d.bin(&c.v[CTX_UV_QT_CBF + 0]);                       // cbf_cr (0)
+        if (!tsplit) {
+            i32 cbf = d.bin(&c.v[CTX_Y_QT_CBF + 1]);          // depth 0
+            if (cbf) parse_coef(st, sz, false, pm, coef);
+            recon_tu(st, y, x, sz, bll, blb, baa, bar, pm, cbf ? coef : nullptr);
+        } else {
+            i32 h = sz / 2;
+            bool sf[4][4];
+            sub_flags(bll, blb, baa, bar, sf);
+            for (int k = 0; k < 4; k++) {
+                i32 cbf = d.bin(&c.v[CTX_Y_QT_CBF + 0]);      // depth 1
+                if (cbf) parse_coef(st, h, false, pm, coef);
+                recon_tu(st, y + kSubOff[k][0] * h, x + kSubOff[k][1] * h, h,
+                         sf[k][0], sf[k][1], sf[k][2], sf[k][3], pm,
+                         cbf ? coef : nullptr);
+            }
+        }
+        for (i32 r = 0; r < ntu; r++) {
+            std::memset(&st.mcu(mr + r, mc), sz, ntu);
+            std::memset(&st.mpm(mr + r, mc), pm, ntu);
+        }
+    } else {
+        // NxN: four 4x4 PUs (sz == 8)
+        i32 h = sz / 2;
+        bool sf[4][4];
+        sub_flags(bll, blb, baa, bar, sf);
+        i32 flags[4], pm[4] = {0, 0, 0, 0};
+        for (int k = 0; k < 4; k++) flags[k] = d.bin(&c.v[CTX_Y_PMODE]);
+        for (int k = 0; k < 4; k++) {
+            i32 pl, pa;
+            switch (k) {   // neighbor wiring per the encoder's put_cu_nxn call
+                case 0: pl = pml; pa = pma; break;
+                case 1: pl = pm[0]; pa = st.mpm(st.mrow(y) - 1, 1 + (x + h) / 4); break;
+                case 2: pl = st.mpm(st.mrow(y + h), 1 + x / 4 - 1); pa = pm[0]; break;
+                default: pl = pm[2]; pa = pm[1]; break;
+            }
+            pm[k] = parse_pmode_value(d, flags[k], pl, pa);
+        }
+        d.bin(&c.v[CTX_UV_PMODE]);
+        d.bin(&c.v[CTX_UV_QT_CBF + 0]);
+        d.bin(&c.v[CTX_UV_QT_CBF + 0]);
+        for (int k = 0; k < 4; k++) {
+            i32 cbf = d.bin(&c.v[CTX_Y_QT_CBF + 0]);          // depth 1
+            if (cbf) parse_coef(st, h, false, pm[k], coef);
+            recon_tu(st, y + kSubOff[k][0] * h, x + kSubOff[k][1] * h, h,
+                     sf[k][0], sf[k][1], sf[k][2], sf[k][3], pm[k],
+                     cbf ? coef : nullptr);
+        }
+        for (i32 r = 0; r < ntu; r++) std::memset(&st.mcu(mr + r, mc), sz, ntu);
+        st.mpm(st.mrow(y), 1 + x / 4) = (u8)pm[0];
+        st.mpm(st.mrow(y), 1 + (x + h) / 4) = (u8)pm[1];
+        st.mpm(st.mrow(y + h), 1 + x / 4) = (u8)pm[2];
+        st.mpm(st.mrow(y + h), 1 + (x + h) / 4) = (u8)pm[3];
+    }
+}
+
+struct Headers {
+    i32 width = 0, height = 0, qpd6 = -1;
+    bool ok = false;
+    const char* err = "";
+};
+
+// parse SPS/PPS/slice headers by the spec; reject streams using features
+// outside the decode subset
+static Headers parse_headers(const u8* s, size_t n, size_t* slice_off,
+                             size_t* cabac_off) {
+    Headers H;
+    // NAL split at 3-byte start codes (the encoder emits only those)
+    std::vector<std::pair<size_t, size_t>> nals;   // (offset, len) past start code
+    for (size_t k = 0; k + 2 < n; k++) {
+        if (s[k] == 0 && s[k + 1] == 0 && s[k + 2] == 1) {
+            if (!nals.empty() && nals.back().second == 0)
+                nals.back().second = k - nals.back().first;
+            nals.push_back({k + 3, 0});
+            k += 2;
+        }
+    }
+    if (!nals.empty() && nals.back().second == 0)
+        nals.back().second = n - nals.back().first;
+
+    i32 init_qp_minus26 = 0, output_flag_present = 0, extra_bits = 0;
+    i32 chroma_qp_offsets_present = 0, db_override_enabled = 0;
+    i32 db_control_present = 0, pps_db_disabled = 0, loop_across = 0;
+    bool have_sps = false, have_pps = false;
+
+    for (auto& [off, len] : nals) {
+        if (len < 2) continue;
+        i32 type = (s[off] >> 1) & 0x3F;
+        BitReader r;
+        if (type == 33 && !have_sps) {   // SPS
+            r.load(s + off, len);
+            r.bits(16);                  // nal header
+            r.bits(4); i32 msl = r.bits(3); r.bit();
+            if (msl != 0) { H.err = "sps: sub-layers unsupported"; return H; }
+            r.bits(32); r.bits(32); r.bits(32);   // profile_tier_level (96 bits)
+            r.ue();                               // sps id
+            if (r.ue() != 1) { H.err = "sps: chroma_format != 4:2:0"; return H; }
+            H.width = r.ue();
+            H.height = r.ue();
+            if (r.bit()) { r.ue(); r.ue(); r.ue(); r.ue(); }  // conformance window
+            if (r.ue() != 0 || r.ue() != 0) { H.err = "sps: bit depth != 8"; return H; }
+            r.ue();                               // log2_max_poc
+            i32 subord = r.bit();
+            (void)subord;
+            r.ue(); r.ue(); r.ue();               // ordering info (one layer)
+            i32 min_cb = r.ue(), diff_cb = r.ue();
+            i32 min_tb = r.ue(), diff_tb = r.ue();
+            r.ue();                               // max_transform_depth_inter
+            i32 xdep = r.ue();                    // max_transform_depth_intra
+            i32 scal = r.bit(), amp = r.bit(), sao = r.bit(), pcm = r.bit();
+            if (min_cb != 0 || diff_cb != 2 || min_tb != 0 || diff_tb != 3 || xdep != 1)
+                { H.err = "sps: block geometry outside subset"; return H; }
+            if (scal || amp || sao || pcm)
+                { H.err = "sps: scaling/amp/sao/pcm unsupported"; return H; }
+            if (r.fail) { H.err = "sps: truncated"; return H; }
+            if (H.width <= 0 || H.height <= 0 || H.width > 8192 || H.height > 8192 ||
+                (H.width % 32) || (H.height % 32))
+                { H.err = "sps: bad picture dims"; return H; }
+            have_sps = true;
+        } else if (type == 34 && !have_pps) {   // PPS
+            r.load(s + off, len);
+            r.bits(16);
+            r.ue(); r.ue();                       // pps id, sps id
+            r.bit();                              // dependent_slice_segments
+            output_flag_present = r.bit();
+            extra_bits = r.bits(3);
+            i32 signhide = r.bit();
+            r.bit();                              // cabac_init_present
+            r.ue(); r.ue();                       // num_ref_idx defaults
+            init_qp_minus26 = r.se();
+            r.bit();                              // constrained_intra_pred
+            i32 tskip = r.bit();
+            i32 cuqp = r.bit();
+            if (cuqp) r.ue();
+            r.se(); r.se();                       // cb/cr qp offsets
+            chroma_qp_offsets_present = r.bit();
+            r.bit(); r.bit();                     // weighted pred flags
+            i32 tqb = r.bit();
+            i32 tiles = r.bit();
+            i32 ents = r.bit();
+            if (signhide || tskip || cuqp || tqb || tiles || ents)
+                { H.err = "pps: tool outside subset"; return H; }
+            loop_across = r.bit();
+            db_control_present = r.bit();
+            if (db_control_present) {
+                db_override_enabled = r.bit();
+                pps_db_disabled = r.bit();
+                if (!pps_db_disabled) { r.se(); r.se(); }   // beta/tc offsets
+            }
+            if (r.bit()) { H.err = "pps: scaling list unsupported"; return H; }
+            if (r.fail) { H.err = "pps: truncated"; return H; }
+            have_pps = true;
+        } else if (type >= 16 && type <= 21) {   // IRAP slice
+            if (!have_sps || !have_pps) { H.err = "slice before sps/pps"; return H; }
+            r.load(s + off, len);
+            r.bits(16);
+            if (!r.bit()) { H.err = "slice: not first segment"; return H; }
+            r.bit();                              // no_output_of_prior_pics
+            r.ue();                               // pps id
+            for (i32 i = 0; i < extra_bits; i++) r.bit();
+            if (r.ue() != 2) { H.err = "slice: not an I slice"; return H; }
+            if (output_flag_present) r.bit();
+            i32 qp_delta = r.se();
+            if (chroma_qp_offsets_present) { r.se(); r.se(); }
+            // deblocking state affects only the display output (see note
+            // above) but must be parsed to locate the alignment correctly
+            i32 slice_db_disabled = pps_db_disabled;
+            if (db_control_present && db_override_enabled && r.bit()) {
+                slice_db_disabled = r.bit();
+                if (!slice_db_disabled) { r.se(); r.se(); }   // slice beta/tc
+            }
+            if (loop_across && !slice_db_disabled) r.bit();
+            if (r.fail) { H.err = "slice: truncated header"; return H; }
+            // byte alignment: one 1 bit + zeros
+            if (!r.bit()) { H.err = "slice: bad alignment"; return H; }
+            while (r.bitpos & 7)
+                if (r.bit()) { H.err = "slice: bad alignment"; return H; }
+            i32 qp = 26 + init_qp_minus26 + qp_delta;
+            if (qp < 4 || (qp - 4) % 6 || (qp - 4) / 6 > 4)
+                { H.err = "slice: qp outside subset"; return H; }
+            H.qpd6 = (qp - 4) / 6;
+            *slice_off = off;
+            *cabac_off = r.bitpos >> 3;           // offset in unescaped RBSP
+            H.ok = true;
+            return H;
+        }
+    }
+    H.err = "no slice found";
+    return H;
+}
+
+static i64 decode(const u8* stream, size_t n, i32* ysz, i32* xsz, u8* luma_out) {
+    size_t slice_off = 0, cabac_off = 0;
+    Headers H = parse_headers(stream, n, &slice_off, &cabac_off);
+    if (!H.ok) return -1;
+    *ysz = H.height;
+    *xsz = H.width;
+    if (!luma_out) return 0;   // dims-only query
+
+    DecState st;
+    st.qpd6 = H.qpd6;
+    st.yszn = H.height;
+    st.xszn = H.width;
+    st.rcon.assign((size_t)st.yszn * st.xszn, 0);
+    st.map_w = 1 + st.xszn / 4;
+    st.map_cu_sz.assign((size_t)9 * st.map_w, CTU);
+    st.map_pmode.assign((size_t)9 * st.map_w, 1);   // DC
+    st.ctxs.init(st.qpd6);
+
+    // slice NAL extent: to the next start code or end of stream
+    size_t slice_end = n;
+    for (size_t k = slice_off; k + 2 < n; k++)
+        if (stream[k] == 0 && stream[k + 1] == 0 && stream[k + 2] == 1) {
+            slice_end = k;
+            break;
+        }
+    BitReader rb;
+    rb.load(stream + slice_off, slice_end - slice_off);
+    if (cabac_off >= rb.buf.size()) return -1;
+    st.d.init(rb.buf.data() + cabac_off, rb.buf.size() - cabac_off);
+
+    for (i32 y = 0; y < st.yszn && !st.d.fail; y += CTU) {
+        st.ctu_y = y;
+        for (i32 x = 0; x < st.xszn && !st.d.fail; x += CTU) {
+            bool bll = x > 0, baa = y > 0;
+            bool bar = baa && (x + CTU < st.xszn);
+            dec_cu(st, y, x, CTU, bll, false, baa, bar);
+            bool last = (y + CTU >= st.yszn) && (x + CTU >= st.xszn);
+            i32 end = st.d.terminate();
+            // The final end_of_slice_segment_flag is accepted as 0 OR 1: the
+            // reference flush truncates bit 7 of low (tail = (low>>8)<<nbits,
+            // reference src/HEVCe.c:849-855), so when that bit is set the
+            // flushed value lands 128 below the terminate-1 subinterval and
+            // a strict arithmetic decoder reads 0 (measured on ~half of all
+            // streams; the picture is complete either way). Mid-picture
+            // terminates are checked strictly.
+            if (!last && end != 0) return -2;       // slice ended early
+        }
+        std::memcpy(&st.mcu(0, 1), &st.mcu(8, 1), st.map_w - 1);
+    }
+    if (st.d.fail) return -3;
+    std::memcpy(luma_out, st.rcon.data(), st.rcon.size());
+    return (i64)st.rcon.size();
+}
+
+}  // namespace dec
+
 }  // namespace hevce
 
 // ---------------------------------------------------------------------------
@@ -1646,6 +2262,18 @@ long long hevce_encode(const uint8_t* img, int* ysz, int* xsz, int qpd6,
     if (qpd6 < 0 || qpd6 > 4 || *ysz <= 0 || *xsz <= 0) return -1;
     return hevce::encode(img, ysz, xsz, qpd6, stream_out, rcon_out, nullptr,
                          (size_t)stream_cap);
+}
+
+// --- independent decoder -----------------------------------------------------
+
+// Decode an .h265 stream from this encoder subset. With luma_out == nullptr,
+// only parses headers and sets *ysz/*xsz (the padded dims) — use this to size
+// the buffer, then call again. Returns decoded luma bytes (ysz*xsz) on
+// success, 0 on the dims-only query, negative on malformed/unsupported input.
+long long hevce_decode(const uint8_t* stream, long long n, int* ysz, int* xsz,
+                       uint8_t* luma_out) {
+    if (!stream || n <= 4) return -1;
+    return hevce::dec::decode(stream, (size_t)n, ysz, xsz, luma_out);
 }
 
 // worst-case stream bytes for one (unpadded) ysz x xsz image

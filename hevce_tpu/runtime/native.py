@@ -101,6 +101,39 @@ def encode_many_native(imgs, qpd6: int, nthreads: int = 0):
             [rcons[i] for i in range(n)])
 
 
+def decode_stream(stream: bytes) -> np.ndarray:
+    """Decode an .h265 stream produced by this encoder subset with the
+    independent native decoder (spec-side arithmetic decoding + syntax
+    parsing; csrc/hevce_host.cpp `namespace dec`). Returns the luma plane
+    with the padded stream dimensions — equal to the encoder's recon output
+    for every valid stream (the compliance verification oracle;
+    reference README.md:21-22 delegates this to third-party decoders).
+    """
+    lib = _load()
+    if not hasattr(lib.hevce_decode, "_bound"):
+        lib.hevce_decode.restype = ctypes.c_longlong
+        lib.hevce_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.hevce_decode._bound = True
+    buf = np.frombuffer(bytes(stream), np.uint8)
+    y, x = ctypes.c_int(0), ctypes.c_int(0)
+    rc = lib.hevce_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        ctypes.byref(y), ctypes.byref(x), None)
+    if rc < 0:
+        raise ValueError(f"hevce_decode: malformed/unsupported stream ({rc})")
+    luma = np.empty((y.value, x.value), np.uint8)
+    rc = lib.hevce_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        ctypes.byref(y), ctypes.byref(x),
+        luma.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != luma.size:
+        raise ValueError(f"hevce_decode: decode failed ({rc})")
+    return luma
+
+
 def encode_image_native(img: np.ndarray, qpd6: int):
     """Encode one 8-bit grayscale image with the native engine.
 
