@@ -16,6 +16,7 @@
 //  * next-state tables and scan orders are generated at startup, not embedded.
 //
 // Build: tools/build_native.py -> hevce_tpu/runtime/libhevce_host.so
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -150,14 +151,16 @@ struct CabacEnc {
                                     // loses: bits only grow, cost is monotone)
     std::vector<u8>* arena = nullptr;
 
+    // arena == nullptr makes the sink count-only: trial encodes need exact
+    // rates + context evolution but never their bytes (winners are replayed)
     void emit(i32 byte) {
         byte &= 0xFF;
         if (zrun >= 2 && byte <= 0x03) {
-            arena->push_back(0x03);
+            if (arena) arena->push_back(0x03);
             nbytes++;
             zrun = 0;
         }
-        arena->push_back((u8)byte);
+        if (arena) arena->push_back((u8)byte);
         nbytes++;
         zrun = (byte == 0) ? zrun + 1 : 0;
     }
@@ -183,19 +186,17 @@ struct CabacEnc {
     }
 
     __attribute__((always_inline)) inline void bin(u8* ctx, i32 b) {
+        // branchless LPS/MPS select: the bin value is ~50/50 in trial
+        // encodes, so the data-dependent branch mispredicts heavily
         u8 v = *ctx;
         i32 lps = kLpsTable[v >> 1][(range >> 6) & 3];
-        range -= lps;
-        if (b != (v & 1)) {
-            i32 nb = T.renorm[lps >> 3];
-            *ctx = T.next_lps[v];
-            low = (low + range) << nb;
-            range = lps << nb;
-            nbits -= nb;
-        } else {
-            *ctx = T.next_mps[v];
-            if (range < 256) { low <<= 1; range <<= 1; nbits--; }
-        }
+        i32 r1 = range - lps;
+        bool is_lps = b != (v & 1);
+        i32 nb = is_lps ? (i32)T.renorm[lps >> 3] : (r1 < 256 ? 1 : 0);
+        *ctx = is_lps ? T.next_lps[v] : T.next_mps[v];
+        low = (is_lps ? low + r1 : low) << nb;
+        range = (is_lps ? lps : r1) << nb;
+        nbits -= nb;
         refill();
     }
 
@@ -459,13 +460,17 @@ static void put_coef(CabacEnc& e, CtxSet& c, i32 sz, bool chroma, i32 pmode, con
     int si = sz == 4 ? 0 : sz == 8 ? 1 : sz == 16 ? 2 : 3;
     const u8* sigtab = SC.sig[si][stype][0].data();   // re-picked per CG
 
+    // last-significant scan index + CG occupancy via a raster pass over the
+    // block and the inverse scan table (linear loads autovectorize; the
+    // scan-order gather form did not)
     bool sig_map[8][8] = {};
     i32 i_last = 0;
-    for (i32 i = 0; i < sz * sz; i++) {
-        i32 p = scan[i];
+    const uint16_t* inv = SC.inv[si][stype].data();
+    for (i32 p = 0; p < sz * sz; p++) {
         if (blk[p] != 0) {
             sig_map[(p / sz) >> 2][(p % sz) >> 2] = true;
-            i_last = i;
+            i32 i = inv[p];
+            if (i > i_last) i_last = i;
         }
     }
     put_last_xy(e, c, sz, chroma, stype, scan[i_last] / sz, scan[i_last] % sz);
@@ -1003,6 +1008,18 @@ static i32 candidate(i32 qpd6, i32 sz, const Borders& B, i32 pmode, const u8* or
             resid[i * sz + j] = (i32)orig[i * orig_stride + j] - pred[i * sz + j];
     forward_transform(sz, resid, coef);
     quantize(qpd6, sz, coef, quant_out);
+    if (!block_nonzero(quant_out, sz * sz)) {
+        // all-zero levels: dequant/inverse are exactly zero (rounding adds
+        // shift out), so recon == pred — skip both matmul stages
+        i32 sse = 0;
+        for (i32 i = 0; i < sz; i++)
+            for (i32 j = 0; j < sz; j++) {
+                recon_out[i * sz + j] = pred[i * sz + j];
+                i32 d = (i32)orig[i * orig_stride + j] - pred[i * sz + j];
+                sse += d * d;
+            }
+        return sse;
+    }
     dequantize(qpd6, sz, quant_out, dq);
     inverse_transform(sz, dq, inv);
     i32 sse = 0;
@@ -1108,6 +1125,17 @@ struct LocalMathProvider final : MathProvider {
     }
 };
 
+// direct-mapped, exact-key-verified memo of fresh-coder 4x4 putCoef rates
+// (the step-4 PU rate is a pure function of (qpd6, scan type, quant block),
+// reference src/HEVCe.c:1505-1519)
+struct PuRateCache {
+    static constexpr i32 N = 1 << 14;
+    i32 blk[N][16];
+    i32 stype[N];
+    i32 val[N];
+    i32 qtag = -1;
+};
+
 static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
                        bool bll, bool blb, bool baa, bool bar) {
     const i32 q = st.qpd6;
@@ -1187,40 +1215,62 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
     auto host_trial2 = [&](i32 pm, i64 budget) -> i32 {
         st.enc = o_enc;
         st.ctxs = o_ctxs;
+        st.enc.arena = nullptr;                 // count-only sink for trials
         st.enc.abort_len = o_len + budget;
         put_split_cu(st.enc, st.ctxs, sz, 0, gl, ga);
         put_cu_2nx2n(st.enc, st.ctxs, sz, pm, pml, pma, M.quant + pm * nn);
         i64 bits = st.enc.bit_len() - o_len;
-        st.arena.resize(o_arena);
         return bits > budget ? I32_MAX : (i32)bits;   // aborted/over: loses
     };
     auto host_trial3 = [&](i32 pm, i64 budget) -> i32 {
         st.enc = o_enc;
         st.ctxs = o_ctxs;
+        st.enc.arena = nullptr;
         st.enc.abort_len = o_len + budget;
         put_split_cu(st.enc, st.ctxs, sz, 0, gl, ga);
         const i32* q4pm = M.quant4 + (size_t)pm * 4 * hh;
         const i32* subs[4] = {q4pm, q4pm + hh, q4pm + 2 * hh, q4pm + 3 * hh};
         put_cu_tusplit(st.enc, st.ctxs, sz, pm, pml, pma, subs);
         i64 bits = st.enc.bit_len() - o_len;
-        st.arena.resize(o_arena);
         return bits > budget ? I32_MAX : (i32)bits;
     };
 
+    // Evaluate the 70 candidates by ASCENDING distortion floor so the running
+    // best tightens early and the bit-budget abort prunes most later trials
+    // after their first coefficient group. Decision-equivalent to reference
+    // order: costs are order-independent; the winner is the candidate with
+    // min cost and, among ties, the LARGEST reference index (ties commit the
+    // later candidate, reference src/HEVCe.c:1440). A trial is only skipped
+    // (budget < 0) or aborted (bits > budget) when cost > best is provable,
+    // which can never drop a tie-winner.
     i32 win_step = 0, win_pm = -1;   // 0 = incumbent (step 1)
-    for (int step = 2; step <= 3; step++) {
-        const i32* sse = (step == 2) ? M.sse : M.sse4;
-        const i32* rates = (step == 2) ? M.rates2 : M.rates3;
-        for (i32 pm = 0; pm < MODES; pm++) {
-            i64 budget = bit_budget(sse[pm], best);
+    {
+        i32 order[2 * MODES];
+        for (i32 i = 0; i < 2 * MODES; i++) order[i] = i;
+        auto sse_of = [&](i32 i) {
+            return i < MODES ? M.sse[i] : M.sse4[i - MODES];
+        };
+        std::sort(order, order + 2 * MODES, [&](i32 a, i32 b) {
+            i32 sa = sse_of(a), sb = sse_of(b);
+            return sa != sb ? sa < sb : a < b;
+        });
+        i32 win_ref = -1;            // reference index of the winner (-1 = step 1)
+        for (i32 k = 0; k < 2 * MODES; k++) {
+            const i32 ref = order[k];
+            const int step = ref < MODES ? 2 : 3;
+            const i32 pm = ref < MODES ? ref : ref - MODES;
+            const i32 sse = sse_of(ref);
+            const i32* rates = (step == 2) ? M.rates2 : M.rates3;
+            i64 budget = bit_budget(sse, best);
             if (budget < 0) continue;                      // provably loses
             i32 bits = (rates && rates[pm] >= 0) ? rates[pm]
                        : (step == 2 ? host_trial2(pm, budget)
                                     : host_trial3(pm, budget));
             if (bits == I32_MAX) continue;                 // over budget: loses
-            i32 cost = rd_cost(q, sse[pm], bits);
-            if (best >= cost) {
+            i32 cost = rd_cost(q, sse, bits);
+            if (cost < best || (cost == best && ref > win_ref)) {
                 best = cost;
+                win_ref = ref;
                 win_step = step;
                 win_pm = pm;
             }
@@ -1259,6 +1309,26 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
         sub_flags(bll, blb, baa, bar, sf);
         i32 sub_pm[4] = {0, 0, 0, 0};
         static thread_local i32 sub_q[4][16];
+        // The step-4 PU rate is a FRESH-coder putCoef length (reference
+        // src/HEVCe.c:1505-1519) — a pure function of (qpd6, scan type,
+        // quant block), so it is memoizable. All-zero blocks (extremely
+        // common at high qpd6) all share one constant rate; nonzero 4x4
+        // blocks go through a small per-thread hash cache.
+        static thread_local i32 zero_rate_q = -1, zero_rate_v = 0;
+        if (zero_rate_q != q) {
+            CabacEnc ne;
+            CtxSet nc;
+            nc.init(q);
+            const i32 zb[16] = {};
+            put_coef(ne, nc, 4, false, 0, zb);
+            zero_rate_v = (i32)ne.bit_len();
+            zero_rate_q = q;
+        }
+        static thread_local PuRateCache rcache;
+        if (rcache.qtag != q) {
+            std::memset(rcache.stype, -1, sizeof rcache.stype);
+            rcache.qtag = q;
+        }
         for (int isub = 0; isub < 4; isub++) {
             i32 py = y + kSubOff[isub][0] * h, px = x + kSubOff[isub][1] * h;
             const PuMathRefs P = st.mp->pu(st, py, px, sf[isub][0], sf[isub][1],
@@ -1266,25 +1336,38 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
             i32 sub_best = I32_MAX;
             // fresh-coder rate approximation per candidate (src/HEVCe.c:1505-1519);
             // device-supplied rates short-circuit the host trial encode
-            std::vector<u8> scratch_arena;
             for (i32 pm = 0; pm < MODES; pm++) {
                 i32 sse = P.sse[pm];
                 i32 c1f = dist_floor(q, sse);
                 if (c1f > sub_best) continue;
                 i64 budget = (i64)(sub_best - c1f) / kWBits[q];
                 i32 rate = P.rates ? P.rates[pm] : -1;
+                const i32* blk = P.quant + pm * 16;
+                if (rate < 0 && !block_nonzero(blk, 16)) rate = zero_rate_v;
                 if (rate < 0) {
-                    scratch_arena.clear();
-                    CabacEnc ne;
-                    ne.arena = &scratch_arena;
-                    ne.abort_len = budget;
-                    CtxSet nc;
-                    nc.init(q);
-                    put_coef(ne, nc, h, false, pm, P.quant + pm * 16);
-                    i64 r64 = ne.bit_len();
-                    if (r64 > budget) continue;           // over budget: loses
-                    rate = (i32)r64;
-                } else if (rate > budget) {
+                    const uint16_t* scan_dummy;
+                    int stype = scan_select(4, pm, &scan_dummy);
+                    uint64_t hh2 = 0xcbf29ce484222325ull ^ (uint64_t)stype;
+                    for (int i = 0; i < 16; i++) {
+                        hh2 ^= (uint32_t)blk[i];
+                        hh2 *= 0x100000001b3ull;
+                    }
+                    i32 slot = (i32)(hh2 >> 16) & (PuRateCache::N - 1);
+                    if (rcache.stype[slot] == stype &&
+                        std::memcmp(rcache.blk[slot], blk, 64) == 0) {
+                        rate = rcache.val[slot];
+                    } else {
+                        CabacEnc ne;             // count-only sink (rate trial)
+                        CtxSet nc;
+                        nc.init(q);
+                        put_coef(ne, nc, h, false, pm, blk);
+                        rate = (i32)ne.bit_len();
+                        std::memcpy(rcache.blk[slot], blk, 64);
+                        rcache.stype[slot] = stype;
+                        rcache.val[slot] = rate;
+                    }
+                }
+                if (rate > budget) {
                     continue;
                 }
                 i32 cost = rd_cost(q, sse, rate);
