@@ -978,6 +978,16 @@ struct MathProvider {
     // all-35-mode 4x4 PU candidates (step-4 inner search)
     virtual PuMathRefs pu(EncState& st, i32 py, i32 px,
                           bool bll, bool blb, bool baa, bool bar) = 0;
+    // Two-phase (deferred-fetch) providers return true: after node()/pu(),
+    // only sse and rates in the refs are valid; quant/recon become valid
+    // only after fetch_node()/fetch_pu(), which MUST be called exactly once
+    // per node()/pu() (the batch engine rendezvouses on it). sel: -2 = no
+    // data needed, -1 = all lanes, >=0 = one flat lane (layout*35+pm for
+    // nodes, pm for PUs). This is what cuts the device->host volume ~600x:
+    // candidates stay on the device; only the winner's blocks ever transfer.
+    virtual bool deferred() const { return false; }
+    virtual void fetch_node(i32 sel) { (void)sel; }
+    virtual void fetch_pu(i32 sel) { (void)sel; }
     virtual ~MathProvider() = default;
 };
 
@@ -1245,6 +1255,22 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
     // which can never drop a tie-winner.
     i32 win_step = 0, win_pm = -1;   // 0 = incumbent (step 1)
     {
+        // two-phase providers: quant/recon are not resident yet. If every
+        // candidate has a device rate, arbitration needs no block data at
+        // all and only the winner is fetched; otherwise fetch everything up
+        // front (host trials need the quant blocks).
+        const bool two_phase = st.mp->deferred();
+        bool fetched_full = false;
+        if (two_phase) {
+            bool need_full = false;
+            for (i32 pm = 0; pm < MODES; pm++)
+                if (!M.rates2 || !M.rates3 || M.rates2[pm] < 0 || M.rates3[pm] < 0)
+                    need_full = true;
+            if (need_full) {
+                st.mp->fetch_node(-1);
+                fetched_full = true;
+            }
+        }
         i32 order[2 * MODES];
         for (i32 i = 0; i < 2 * MODES; i++) order[i] = i;
         auto sse_of = [&](i32 i) {
@@ -1275,6 +1301,9 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
                 win_pm = pm;
             }
         }
+        if (two_phase && !fetched_full)
+            st.mp->fetch_node(win_step == 0 ? -2
+                              : (win_step - 2) * MODES + win_pm);
     }
     if (win_step != 0) {
         // replay the winning candidate to materialize coder state + bytes
@@ -1333,6 +1362,17 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
             i32 py = y + kSubOff[isub][0] * h, px = x + kSubOff[isub][1] * h;
             const PuMathRefs P = st.mp->pu(st, py, px, sf[isub][0], sf[isub][1],
                                            sf[isub][2], sf[isub][3]);
+            const bool two_phase = st.mp->deferred();
+            bool fetched_full = !two_phase;
+            if (two_phase) {
+                bool need_full = false;
+                for (i32 pm = 0; pm < MODES; pm++)
+                    if (!P.rates || P.rates[pm] < 0) need_full = true;
+                if (need_full) {
+                    st.mp->fetch_pu(-1);
+                    fetched_full = true;
+                }
+            }
             i32 sub_best = I32_MAX;
             // fresh-coder rate approximation per candidate (src/HEVCe.c:1505-1519);
             // device-supplied rates short-circuit the host trial encode
@@ -1342,7 +1382,7 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
                 if (c1f > sub_best) continue;
                 i64 budget = (i64)(sub_best - c1f) / kWBits[q];
                 i32 rate = P.rates ? P.rates[pm] : -1;
-                const i32* blk = P.quant + pm * 16;
+                const i32* blk = P.quant + pm * 16;    // valid iff fetched_full
                 if (rate < 0 && !block_nonzero(blk, 16)) rate = zero_rate_v;
                 if (rate < 0) {
                     const uint16_t* scan_dummy;
@@ -1374,11 +1414,22 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
                 if (sub_best >= cost) {
                     sub_best = cost;
                     sub_pm[isub] = pm;
-                    std::memcpy(sub_q[isub], P.quant + pm * 16, 16 * sizeof(i32));
-                    for (i32 i = 0; i < h; i++)
-                        std::memcpy(&st.rcon[(size_t)(py + i) * st.xszn + px],
-                                    P.recon + pm * 16 + i * h, h);
+                    if (fetched_full) {
+                        std::memcpy(sub_q[isub], P.quant + pm * 16, 16 * sizeof(i32));
+                        for (i32 i = 0; i < h; i++)
+                            std::memcpy(&st.rcon[(size_t)(py + i) * st.xszn + px],
+                                        P.recon + pm * 16 + i * h, h);
+                    }
                 }
+            }
+            if (two_phase && !fetched_full) {
+                // fetch the winning PU's blocks and commit them now
+                st.mp->fetch_pu(sub_pm[isub]);
+                i32 pm = sub_pm[isub];
+                std::memcpy(sub_q[isub], P.quant + pm * 16, 16 * sizeof(i32));
+                for (i32 i = 0; i < h; i++)
+                    std::memcpy(&st.rcon[(size_t)(py + i) * st.xszn + px],
+                                P.recon + pm * 16 + i * h, h);
             }
         }
         i32 pls[4] = {pml, sub_pm[0], st.mpm(st.mrow(y + h), 1 + x / 4 - 1), sub_pm[2]};
@@ -1530,7 +1581,9 @@ struct BatchEngine {
     std::vector<i32> req_state;  // B x 7  fork coder state (node events)
     std::vector<i32> req_ctxs;   // B x 142 fork context vector
     std::vector<i32> req_meta;   // B x 4  pml, pma, gl, ga
-    i32 ev_kind = -1, ev_sz = 0;  // 0=node, 1=pu, 2=done
+    std::vector<i32> req_fetch;  // B      fetch selector (-2 none, -1 all,
+                                 //        >=0 flat lane) for fetch events
+    i32 ev_kind = -1, ev_sz = 0;  // 0=node, 1=pu, 2=done, 3=node fetch, 4=pu fetch
 
     // result buffers (compact per event: (B, 35, sz*sz) etc.)
     std::vector<i32> res_quant, res_sse, res_quant4, res_sse4, res_rates;
@@ -1565,6 +1618,7 @@ struct BatchEngine {
         req_state.resize((size_t)B * 7);
         req_ctxs.resize((size_t)B * NUM_CTX);
         req_meta.resize((size_t)B * 4);
+        req_fetch.assign((size_t)B, -2);
         res_rates2.assign((size_t)B * MODES, -1);
         res_rates3.assign((size_t)B * MODES, -1);
         streams.resize(B);
@@ -1616,6 +1670,7 @@ struct BatchEngine {
 struct BatchMathProvider final : MathProvider {
     BatchEngine* be;
     i32 slot;
+    i32 cur_sz = 0;    // sz of the node event a pending fetch belongs to
     BatchMathProvider(BatchEngine* b, i32 s) : be(b), slot(s) {}
 
     void fill_request(EncState& st, i32 y, i32 x, i32 sz,
@@ -1644,6 +1699,7 @@ struct BatchMathProvider final : MathProvider {
         for (int i = 0; i < NUM_CTX; i++) c[i] = st.ctxs.v[i];
         i32* m = be->req_meta.data() + (size_t)slot * 4;
         m[0] = meta.pml; m[1] = meta.pma; m[2] = meta.gl; m[3] = meta.ga;
+        cur_sz = sz;
         be->rendezvous(0, sz);
         size_t nn = (size_t)sz * sz;
         return {be->res_quant.data() + slot * MODES * nn,
@@ -1654,6 +1710,18 @@ struct BatchMathProvider final : MathProvider {
                 be->res_sse4.data() + (size_t)slot * MODES,
                 be->res_rates2.data() + (size_t)slot * MODES,
                 be->res_rates3.data() + (size_t)slot * MODES};
+    }
+
+    bool deferred() const override { return true; }
+
+    void fetch_node(i32 sel) override {
+        be->req_fetch[slot] = sel;
+        be->rendezvous(3, cur_sz);
+    }
+
+    void fetch_pu(i32 sel) override {
+        be->req_fetch[slot] = sel;
+        be->rendezvous(4, 4);
     }
 
     PuMathRefs pu(EncState& st, i32 py, i32 px,
@@ -2365,7 +2433,7 @@ long long hevce_stream_capacity(int ysz, int xsz) {
     return (long long)hevce::stream_capacity(yp, xp);
 }
 
-int hevce_version() { return 11; }
+int hevce_version() { return 12; }
 
 // --- lockstep batch API -----------------------------------------------------
 
@@ -2378,7 +2446,11 @@ void* hevce_batch_create(const uint8_t* imgs, int B, int ysz, int xsz, int qpd6)
 }
 
 // blocks until all workers request math (or all finished).
-// returns 0 (node event), 1 (pu event), 2 (done); *sz_out = CU size.
+// returns 0 (node event), 1 (pu event), 2 (done), 3 (node fetch),
+// 4 (pu fetch); *sz_out = CU size. Fetch events follow every node/pu
+// event: workers post a per-slot selector in buffer 16 (-2 none, -1 all
+// lanes, >=0 flat winner lane) and the driver materializes only those
+// lanes' quant/recon into the result buffers.
 int hevce_batch_next(void* h, int* sz_out) {
     return static_cast<hevce::BatchEngine*>(h)->next(sz_out);
 }
@@ -2395,7 +2467,7 @@ void hevce_batch_supply(void* h) {
 // 10 res_rates(i32 Bx35, PU fresh-coder rates), 11 res_rates2(i32 Bx35,
 // step-2 trial rates vs fork state), 12 res_rates3(i32 Bx35, step-3),
 // 13 req_state(i32 Bx7 coder fork scalars), 14 req_ctxs(i32 Bx142 context
-// values), 15 req_meta(i32 Bx4: pml, pma, gl, ga)
+// values), 15 req_meta(i32 Bx4: pml, pma, gl, ga), 16 req_fetch(i32 B)
 void* hevce_batch_buf(void* h, int which) {
     auto* be = static_cast<hevce::BatchEngine*>(h);
     switch (which) {
@@ -2415,6 +2487,7 @@ void* hevce_batch_buf(void* h, int which) {
         case 13: return be->req_state.data();
         case 14: return be->req_ctxs.data();
         case 15: return be->req_meta.data();
+        case 16: return be->req_fetch.data();
         default: return nullptr;
     }
 }

@@ -1,14 +1,24 @@
 """Pallas TPU kernel for the CABAC rate scan (ROADMAP Phase B, item 3).
 
-The jnp `lax.scan` spends ~95 us/step on kernel-launch overhead for a body
-whose arithmetic bound is ~1 us. This kernel runs the whole bin loop inside
-one Pallas program per lane tile: state lives in registers/VMEM, tables are
-bit-plane constants (no gathers), and the context vector sits transposed
-(P, TILE) so the one-hot select vectorizes over lanes.
+Design (round 2 — the round-1 kernel was structurally slow):
 
-Semantics are identical to ops/cabac_sim.simulate (same op format); outputs
-are the 7 scalar state rows (rates need only those — context write-back is
-skipped, winners are replayed by the host packer).
+* Lanes are tiled to the VPU's native (8, 128) shape: one grid block is
+  TILE=1024 lanes held as (8, 128) int32 arrays, so every elementwise op in
+  the bin update is exactly one VPU op — no relayouts.
+* The op stream is fed BY THE GRID PIPELINE: grid = (lane_blocks, L/KOPS)
+  with an ops BlockSpec of (KOPS, 8, 128) per step, so Pallas double-buffers
+  the DMA from HBM and the kernel never does dynamic indexing (the round-1
+  kernel's `ops_ref[t]` dynamic sublane slice lowered catastrophically).
+* Coder state (7 scalars/lane) and the palette context vector (P slots/lane)
+  live in VMEM scratch that persists across the sequential grid; they are
+  loaded/stored once per KOPS ops, not once per bin.
+* Tables are bit-sliced constants (no gathers); the per-lane context access
+  is one-hot arithmetic over the (P, 8, 128) scratch.
+* A scalar-prefetched per-block op count skips fully-padded steps.
+
+Semantics are identical to ops/cabac_sim.simulate (same packed-op format);
+outputs are the 7 scalar state rows — rates need only those (context
+write-back is skipped; winners are replayed by the host packer).
 """
 import functools
 
@@ -16,12 +26,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-
-from hevce_tpu.ops import cabac_sim as sim
+from jax.experimental.pallas import tpu as pltpu
 
 from hevce_tpu.bitstream import cabac as cb
+from hevce_tpu.ops import cabac_sim as sim
 
-TILE = 512
+TILE = 1024        # lanes per grid block, shaped (8, 128)
+KOPS = 4           # ops consumed per grid step (amortizes pipeline overhead)
 
 _LPS_P = sim._bitsliced(cb.LPS_TABLE.reshape(-1), 8)    # (8, 8) words
 _TRANS_P = sim._bitsliced(cb.NEXT_STATE_LPS, 7)         # (7, 4)
@@ -57,6 +68,8 @@ def _lut(planes_np, idx):
 
 
 def _emit_run(nbytes, zrun, byte, k):
+    """count k emitted copies of `byte` through the emulation-prevention sink
+    (closed form of the zero-run automaton; see cabac_sim._emit_run)."""
     is_zero = byte == 0
     small = byte <= 3
     has = k > 0
@@ -70,141 +83,196 @@ def _emit_run(nbytes, zrun, byte, k):
     return nbytes2, zrun2
 
 
-def _kernel(ops_ref, st_ref, ctx_ref, out_ref, *, L):
-    st = st_ref[...]          # (8, TILE) rng/low/nbits/outstanding/bufbyte/zrun/nbytes/pad
-    ctxs = ctx_ref[...]       # (P, TILE)
-    P = ctxs.shape[0]
-    iota_p = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+def _advance(st, ctxs, op, iota_p):
+    """one bin update on (8, 128) lane tiles; st is a tuple of 7 arrays."""
+    rng, low, nbits, outstanding, bufbyte, zrun, nbytes = st
+    kind = op & 3
+    cidx = (op >> 2) & 0xFF
+    b = (op >> 10) & 1
+    byp_len = (op >> 2) & 0xF
+    byp_val = (op >> 6) & 0xFF
+    is_ctx = kind == sim.KIND_CTX
+    is_byp = kind == sim.KIND_BYPASS
+    is_term = kind == sim.KIND_TERM
+    active = kind != sim.KIND_NOP
 
-    def body(t, carry):
-        st, ctxs = carry
-        rng, low, nbits = st[0], st[1], st[2]
-        outstanding, bufbyte, zrun, nbytes = st[3], st[4], st[5], st[6]
-        op = ops_ref[t, :]
-        kind = op & 3
-        cidx = (op >> 2) & 0xFF
-        b = (op >> 10) & 1
-        byp_len = (op >> 2) & 0xF
-        byp_val = (op >> 6) & 0xFF
-        is_ctx = kind == sim.KIND_CTX
-        is_byp = kind == sim.KIND_BYPASS
-        is_term = kind == sim.KIND_TERM
-        active = kind != sim.KIND_NOP
+    onehot = (iota_p == cidx[None]).astype(jnp.int32)     # (P, 8, 128)
+    v = (ctxs * onehot).sum(axis=0)
+    lps = _lut(_LPS_P, (v >> 1) * 4 + ((rng >> 6) & 3))
+    r1 = rng - lps
+    is_lps = b != (v & 1)
+    li = lps >> 3
+    nbit = 6 - ((li >= 1).astype(jnp.int32) + (li >= 2) + (li >= 4)
+                + (li >= 8) + (li >= 16))
+    mps_rn = r1 < 256
+    ctx_low = jnp.where(is_lps, _shl(low + r1, nbit, 3),
+                        jnp.where(mps_rn, low << 1, low))
+    ctx_rng = jnp.where(is_lps, _shl(lps, nbit, 3),
+                        jnp.where(mps_rn, r1 << 1, r1))
+    ctx_nbits = nbits - jnp.where(is_lps, nbit, jnp.where(mps_rn, 1, 0))
+    newv = jnp.where(is_lps, _lut(_TRANS_P, v), _lut(_MPS_P, v))
 
-        onehot = (iota_p == cidx[None, :]).astype(jnp.int32)   # (P, TILE)
-        v = (ctxs * onehot).sum(axis=0)
-        lps = _lut(_LPS_P, (v >> 1) * 4 + ((rng >> 6) & 3))
-        r1 = rng - lps
-        is_lps = b != (v & 1)
-        li = lps >> 3
-        nbit = 6 - ((li >= 1).astype(jnp.int32) + (li >= 2) + (li >= 4)
-                    + (li >= 8) + (li >= 16))
-        mps_rn = r1 < 256
-        ctx_low = jnp.where(is_lps, _shl(low + r1, nbit, 3),
-                            jnp.where(mps_rn, low << 1, low))
-        ctx_rng = jnp.where(is_lps, _shl(lps, nbit, 3),
-                            jnp.where(mps_rn, r1 << 1, r1))
-        ctx_nbits = nbits - jnp.where(is_lps, nbit, jnp.where(mps_rn, 1, 0))
-        newv = jnp.where(is_lps, _lut(_TRANS_P, v), _lut(_MPS_P, v))
+    byp_low = _shl(low, byp_len, 4) + rng * byp_val
+    byp_nbits = nbits - byp_len
 
-        byp_low = _shl(low, byp_len, 4) + rng * byp_val
-        byp_nbits = nbits - byp_len
+    r2 = rng - 2
+    t_rn = (r2 < 256) & (b == 0)
+    t_low = jnp.where(b == 1, (low + r2) << 7, jnp.where(t_rn, low << 1, low))
+    t_rng = jnp.where(b == 1, 2 << 7, jnp.where(t_rn, r2 << 1, r2))
+    t_nbits = nbits - jnp.where(b == 1, 7, jnp.where(t_rn, 1, 0))
 
-        r2 = rng - 2
-        t_rn = (r2 < 256) & (b == 0)
-        t_low = jnp.where(b == 1, (low + r2) << 7, jnp.where(t_rn, low << 1, low))
-        t_rng = jnp.where(b == 1, 2 << 7, jnp.where(t_rn, r2 << 1, r2))
-        t_nbits = nbits - jnp.where(b == 1, 7, jnp.where(t_rn, 1, 0))
+    low2 = jnp.where(is_ctx, ctx_low, jnp.where(is_byp, byp_low,
+                     jnp.where(is_term, t_low, low)))
+    rng2 = jnp.where(is_ctx, ctx_rng, jnp.where(is_term, t_rng, rng))
+    nbits2 = jnp.where(is_ctx, ctx_nbits, jnp.where(is_byp, byp_nbits,
+                       jnp.where(is_term, t_nbits, nbits)))
+    delta = jnp.where(is_ctx & active, newv - v, 0)
+    ctxs2 = ctxs + onehot * delta[None]
 
-        low2 = jnp.where(is_ctx, ctx_low, jnp.where(is_byp, byp_low,
-                         jnp.where(is_term, t_low, low)))
-        rng2 = jnp.where(is_ctx, ctx_rng, jnp.where(is_term, t_rng, rng))
-        nbits2 = jnp.where(is_ctx, ctx_nbits, jnp.where(is_byp, byp_nbits,
-                           jnp.where(is_term, t_nbits, nbits)))
-        delta = jnp.where(is_ctx, newv - v, 0)
-        ctxs2 = ctxs + onehot * delta[None, :]
+    low2 = jnp.where(active, low2, low)
+    rng2 = jnp.where(active, rng2, rng)
+    nbits2 = jnp.where(active, nbits2, nbits)
 
-        low2 = jnp.where(active, low2, low)
-        rng2 = jnp.where(active, rng2, rng)
-        nbits2 = jnp.where(active, nbits2, nbits)
+    # refill (reference src/HEVCe.c:859-879)
+    need = nbits2 < 12
+    lead = _shr(low2, jnp.clip(24 - nbits2, 0, 31))
+    nbits3 = jnp.where(need, nbits2 + 8, nbits2)
+    mask = _shl(jnp.ones_like(low2), jnp.clip(32 - nbits3, 0, 31)) - 1
+    low3 = jnp.where(need, low2 & mask, low2)
+    is_ff = lead == 0xFF
+    flush = need & ~is_ff & (outstanding > 0)
+    fresh = need & ~is_ff & (outstanding == 0)
+    carry_b = lead >> 8
+    b1 = (bufbyte + carry_b) & 0xFF
+    fill = (0xFF + carry_b) & 0xFF
+    n_a, z_a = _emit_run(nbytes, zrun, b1, jnp.where(flush, 1, 0))
+    n_b, z_b = _emit_run(n_a, z_a, fill, jnp.where(flush, outstanding - 1, 0))
+    outstanding2 = jnp.where(need & is_ff, outstanding + 1,
+                             jnp.where(flush | fresh, 1, outstanding))
+    bufbyte2 = jnp.where(flush | fresh, lead & 0xFF, bufbyte)
 
-        # refill (src/HEVCe.c:859-879)
-        need = nbits2 < 12
-        lead = _shr(low2, jnp.clip(24 - nbits2, 0, 31))
-        nbits3 = jnp.where(need, nbits2 + 8, nbits2)
-        mask = _shl(jnp.ones_like(low2), jnp.clip(32 - nbits3, 0, 31)) - 1
-        low3 = jnp.where(need, low2 & mask, low2)
-        is_ff = lead == 0xFF
-        flush = need & ~is_ff & (outstanding > 0)
-        fresh = need & ~is_ff & (outstanding == 0)
-        carry_b = lead >> 8
-        b1 = (bufbyte + carry_b) & 0xFF
-        fill = (0xFF + carry_b) & 0xFF
-        n_a, z_a = _emit_run(nbytes, zrun, b1, jnp.where(flush, 1, 0))
-        n_b, z_b = _emit_run(n_a, z_a, fill, jnp.where(flush, outstanding - 1, 0))
-        outstanding2 = jnp.where(need & is_ff, outstanding + 1,
-                                 jnp.where(flush | fresh, 1, outstanding))
-        bufbyte2 = jnp.where(flush | fresh, lead & 0xFF, bufbyte)
+    outstanding2 = jnp.where(active, outstanding2, outstanding)
+    bufbyte2 = jnp.where(active, bufbyte2, bufbyte)
+    z_b = jnp.where(active, z_b, zrun)
+    n_b = jnp.where(active, n_b, nbytes)
+    nbits3 = jnp.where(active, nbits3, nbits)
+    low3 = jnp.where(active, low3, low)
 
-        outstanding2 = jnp.where(active, outstanding2, outstanding)
-        bufbyte2 = jnp.where(active, bufbyte2, bufbyte)
-        z_b = jnp.where(active, z_b, zrun)
-        n_b = jnp.where(active, n_b, nbytes)
-        nbits3 = jnp.where(active, nbits3, nbits)
-        low3 = jnp.where(active, low3, low)
+    return (rng2, low3, nbits3, outstanding2, bufbyte2, z_b, n_b), ctxs2
 
-        st2 = jnp.stack([rng2, low3, nbits3, outstanding2, bufbyte2, z_b, n_b,
-                         st[7]])
-        return st2, ctxs2
 
-    st, ctxs = jax.lax.fori_loop(0, L, body, (st, ctxs))
-    out_ref[...] = st
+def _kernel(nmax_ref, ops_ref, st_in, ctx_in, out_ref, st_scr, ctx_scr, *, P):
+    g = pl.program_id(0)
+    t = pl.program_id(1)
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (P, 1, 1), 0)
+
+    @pl.when(t == 0)
+    def _():
+        st_scr[...] = st_in[0]
+        ctx_scr[...] = ctx_in[0]
+
+    @pl.when(t * KOPS < nmax_ref[g])
+    def _():
+        s = st_scr[...]
+        st = tuple(s[i] for i in range(7))
+        ctxs = ctx_scr[...]
+        for k in range(KOPS):
+            st, ctxs = _advance(st, ctxs, ops_ref[0, 0, k], iota_p)
+        st_scr[...] = jnp.stack([*st, s[7]])
+        ctx_scr[...] = ctxs
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        out_ref[0] = st_scr[...]
 
 
 @functools.lru_cache(maxsize=None)
-def _build(L: int, P: int, lanes: int):
-    grid = lanes // TILE
-
-    kernel = functools.partial(_kernel, L=L)
-    return pl.pallas_call(
-        kernel,
-        grid=(grid,),
+def _build(G: int, LK: int, P: int, interpret: bool):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G, LK),
         in_specs=[
-            pl.BlockSpec((L, TILE), lambda g: (0, g)),
-            pl.BlockSpec((8, TILE), lambda g: (0, g)),
-            pl.BlockSpec((P, TILE), lambda g: (0, g)),
+            pl.BlockSpec((1, 1, KOPS, 8, 128), lambda g, t, n: (g, t, 0, 0, 0)),
+            pl.BlockSpec((1, 8, 8, 128), lambda g, t, n: (g, 0, 0, 0)),
+            pl.BlockSpec((1, P, 8, 128), lambda g, t, n: (g, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((8, TILE), lambda g: (0, g)),
-        out_shape=jax.ShapeDtypeStruct((8, lanes), jnp.int32),
+        out_specs=pl.BlockSpec((1, 8, 8, 128), lambda g, t, n: (g, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((8, 8, 128), jnp.int32),
+            pltpu.VMEM((P, 8, 128), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, P=P),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, 8, 8, 128), jnp.int32),
+        interpret=interpret,
     )
 
 
-def simulate_pallas(state, ops, interpret=False):
+def _to_tiles(x):
+    """(lanes, ...) -> (G, ..., 8, 128) with lane -> (sublane, lane) layout."""
+    lanes = x.shape[0]
+    rest = x.shape[1:]
+    g = lanes // TILE
+    x = x.reshape((g, 8, 128) + rest)
+    if rest:
+        x = jnp.moveaxis(x, 3, 1)   # (G, rest0, 8, 128)
+    return x
+
+
+def advance_rates(state, ops, nops):
+    """Backend-dispatching rate scan: the Pallas kernel on TPU (≥1M rates/s
+    per chip measured on v5e), the jnp chunked scan elsewhere (CPU tests).
+    state fields are (lanes,) / ctxs (lanes, P); ops (lanes, L); nops (lanes,).
+    Returns the advanced 7-scalar state dict (ctxs omitted on the TPU path).
+    """
+    if jax.default_backend() != "tpu":
+        return sim.simulate_chunked(state, ops, nops)
+    lanes = ops.shape[0]
+    pad = (-lanes) % TILE
+    if pad:
+        ops = jnp.concatenate(
+            [ops, jnp.full((pad, ops.shape[1]), sim.KIND_NOP, jnp.int32)])
+        nops = jnp.concatenate([nops, jnp.zeros((pad,), nops.dtype)])
+        state = {k: jnp.concatenate([v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
+                 for k, v in state.items()}
+    out = simulate_pallas(state, ops, nops=nops)
+    if pad:
+        out = {k: v[:lanes] for k, v in out.items()}
+    return out
+
+
+def simulate_pallas(state, ops, nops=None, interpret=False):
     """Pallas-accelerated equivalent of cabac_sim.simulate for rate queries.
 
     state: dict as from cabac_sim.initial_state (ctxs may be palette-sized);
-    ops: (lanes, L) int32, lanes a multiple of TILE (pad with nop lanes).
+    ops: (lanes, L) int32, lanes a multiple of TILE (pad with nop lanes);
+    nops: optional (lanes,) actual op counts — steps beyond the per-block max
+    are skipped (the padded cap only bounds memory, like simulate_chunked).
     Returns a state dict with the 7 scalar fields advanced (ctxs omitted).
     """
     lanes, L = ops.shape
     assert lanes % TILE == 0, f"pad lanes to a multiple of {TILE}"
+    G = lanes // TILE
+    Lp = -(-L // KOPS) * KOPS
+    if Lp != L:
+        ops = jnp.concatenate(
+            [ops, jnp.full((lanes, Lp - L), sim.KIND_NOP, jnp.int32)], axis=1)
+    P = state["ctxs"].shape[1]
+    ops_t = _to_tiles(ops).reshape(G, Lp // KOPS, KOPS, 8, 128)
     st = jnp.stack([state["rng"], state["low"], state["nbits"],
                     state["outstanding"], state["bufbyte"], state["zrun"],
-                    state["nbytes"], jnp.zeros_like(state["rng"])])
-    ctxs_t = jnp.swapaxes(state["ctxs"], 0, 1)
-    ops_t = jnp.swapaxes(ops, 0, 1)
-    if interpret:
-        fn = pl.pallas_call(
-            functools.partial(_kernel, L=L),
-            grid=(lanes // TILE,),
-            in_specs=[pl.BlockSpec((L, TILE), lambda g: (0, g)),
-                      pl.BlockSpec((8, TILE), lambda g: (0, g)),
-                      pl.BlockSpec((ctxs_t.shape[0], TILE), lambda g: (0, g))],
-            out_specs=pl.BlockSpec((8, TILE), lambda g: (0, g)),
-            out_shape=jax.ShapeDtypeStruct((8, lanes), jnp.int32),
-            interpret=True)
+                    state["nbytes"], jnp.zeros_like(state["rng"])], axis=1)
+    st_t = _to_tiles(st)                     # (G, 8, 8, 128)
+    ctx_t = _to_tiles(state["ctxs"])         # (G, P, 8, 128)
+    if nops is None:
+        nmax = jnp.full((G,), Lp, jnp.int32)
     else:
-        fn = _build(L, ctxs_t.shape[0], lanes)
-    out = fn(ops_t, st, ctxs_t)
-    return dict(rng=out[0], low=out[1], nbits=out[2], outstanding=out[3],
-                bufbyte=out[4], zrun=out[5], nbytes=out[6])
+        nmax = jnp.max(nops.reshape(G, TILE), axis=1).astype(jnp.int32)
+    out = _build(G, Lp // KOPS, P, interpret)(nmax, ops_t, st_t, ctx_t)
+    # (G, 8, 8, 128) -> (8, lanes)
+    flat = jnp.moveaxis(out, 1, 3).reshape(G * TILE, 8)
+    return dict(rng=flat[:, 0], low=flat[:, 1], nbits=flat[:, 2],
+                outstanding=flat[:, 3], bufbyte=flat[:, 4], zrun=flat[:, 5],
+                nbytes=flat[:, 6])

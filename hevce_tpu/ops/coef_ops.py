@@ -577,5 +577,6 @@ def put_coef_rates(sz: int, qpd6: int, pmode, blk, cap=None):
     packed, overflow, nops = compact_ops(ops, valid, cap)
     state = sim.initial_state(blk.shape[0], qpd6)
     state["ctxs"] = state["ctxs"][:, palette]
-    final = sim.simulate_chunked(state, packed, nops)
+    from hevce_tpu.ops import cabac_pallas as cp
+    final = cp.advance_rates(state, packed, nops)
     return jnp.asarray(sim.bit_len(final), jnp.int32), overflow

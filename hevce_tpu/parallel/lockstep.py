@@ -20,7 +20,7 @@ from hevce_tpu.models import cu_eval
 from hevce_tpu.runtime import native
 
 MODES = 35
-KIND_NODE, KIND_PU, KIND_DONE = 0, 1, 2
+KIND_NODE, KIND_PU, KIND_DONE, KIND_NODE_FETCH, KIND_PU_FETCH = 0, 1, 2, 3, 4
 
 
 def _bind(lib):
@@ -87,23 +87,73 @@ def _jit_node_step(sz: int, qpd6: int):
                     nbytes=rep(state7[:, 6]), ctxs=rep(fctxs)[:, palette])
         base = sim.bit_len(fork)
 
+        from hevce_tpu.ops import cabac_pallas as cp
+
         ops2, val2 = co.generate_cu_2nx2n_ops(
             sz, pm, pml, pma, gl, ga, q1.reshape(B * MODES, sz, sz))
         packed2, ovf2, n2 = co.compact_ops(co.remap_ctx_ops(ops2, remap), val2, cap)
-        rates2 = sim.bit_len(sim.simulate_chunked(fork, packed2, n2)) - base
-        rates2 = jnp.where(ovf2, -1, rates2).astype(jnp.int32)
-
         h = sz // 2
         ops3, val3 = co.generate_cu_tusplit_ops(
             sz, pm, pml, pma, gl, ga, q4.reshape(B * MODES, 4, h, h))
         packed3, ovf3, n3 = co.compact_ops(co.remap_ctx_ops(ops3, remap), val3, cap)
-        rates3 = sim.bit_len(sim.simulate_chunked(fork, packed3, n3)) - base
-        rates3 = jnp.where(ovf3, -1, rates3).astype(jnp.int32)
+
+        # both layouts' trials in ONE rate-scan call (Pallas kernel on TPU)
+        fork2 = {k: jnp.concatenate([v, v]) for k, v in fork.items()}
+        final = cp.advance_rates(fork2,
+                                 jnp.concatenate([packed2, packed3]),
+                                 jnp.concatenate([n2, n3]))
+        rates = sim.bit_len(final) - jnp.concatenate([base, base])
+        rates2 = jnp.where(ovf2, -1, rates[:B * MODES]).astype(jnp.int32)
+        rates3 = jnp.where(ovf3, -1, rates[B * MODES:]).astype(jnp.int32)
 
         return (q1, r1, s1, q4, r4, s4,
                 rates2.reshape(B, MODES), rates3.reshape(B, MODES))
 
     return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_gather_node(sz: int):
+    """winner-lane gather: sel (B,) flat lane (layout*35+pm, or <0 for none)
+    -> (B, sz*sz) quant + recon rows. Masked sums, exact; keeps everything
+    except the winners on the device."""
+    import jax
+    import jax.numpy as jnp
+
+    def g(q1, r1, q4, r4, sel):
+        B = sel.shape[0]
+        nn = sz * sz
+        iota = jnp.arange(MODES, dtype=jnp.int32)
+        oh2 = (iota[None, :] == sel[:, None]).astype(jnp.int32)
+        oh3 = (iota[None, :] == (sel[:, None] - MODES)).astype(jnp.int32)
+        q1f = q1.reshape(B, MODES, nn)
+        q4f = q4.reshape(B, MODES, nn)
+        r1f = r1.reshape(B, MODES, nn).astype(jnp.int32)
+        r4f = r4.reshape(B, MODES, nn).astype(jnp.int32)
+        wq = (q1f * oh2[:, :, None]).sum(1) + (q4f * oh3[:, :, None]).sum(1)
+        wr = (r1f * oh2[:, :, None]).sum(1) + (r4f * oh3[:, :, None]).sum(1)
+        return wq, wr.astype(jnp.uint8)
+
+    return jax.jit(g)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_gather_pu():
+    """winner-lane gather for PU events: sel (B,) pm (or <0) -> (B, 16) rows."""
+    import jax
+    import jax.numpy as jnp
+
+    def g(q1, r1, sel):
+        B = sel.shape[0]
+        iota = jnp.arange(MODES, dtype=jnp.int32)
+        oh = (iota[None, :] == sel[:, None]).astype(jnp.int32)
+        q1f = q1.reshape(B, MODES, 16)
+        r1f = r1.reshape(B, MODES, 16).astype(jnp.int32)
+        wq = (q1f * oh[:, :, None]).sum(1)
+        wr = (r1f * oh[:, :, None]).sum(1)
+        return wq, wr.astype(jnp.uint8)
+
+    return jax.jit(g)
 
 
 @functools.lru_cache(maxsize=None)
@@ -140,17 +190,24 @@ def encode_batch(images, qpd6: int, node_rates: bool = None, timer=None):
     Returns (list of stream bytes, list of recon arrays (padded dims)).
 
     node_rates: also compute step-2/3 trial rates on device (full Phase B
-    data path). Bit-exact either way; default off (or HEVCE_NODE_RATES=1)
-    until the Pallas CABAC scan kernel lands — the jnp scan step costs
-    ~0.14 ms on v5e, so device rates are slower than host trials for now
-    (measured 9.4k rates/s vs ~1M/s host). PU rates are always fused (cheap).
+    data path; the Pallas CABAC scan kernel, ~2M rates/s/chip on v5e).
+    Bit-exact either way. Default: ON when running on a TPU backend (device
+    rates + winner-only fetch cut per-event transfers ~600x), OFF on CPU
+    (the jnp scan fallback is slower than host trials). Override with the
+    HEVCE_NODE_RATES env var (0/1).
 
     timer: optional utils.tracing.PhaseTimer accumulating the per-phase
-    breakdown (host_arbiter / device_math / writeback / finish). Setting
-    HEVCE_TRACE=1 creates one and prints the report to stderr on return.
+    breakdown (host_arbiter / device_math / writeback / winner_fetch /
+    finish). Setting HEVCE_TRACE=1 creates one and prints the report to
+    stderr on return.
     """
     if node_rates is None:
-        node_rates = os.environ.get("HEVCE_NODE_RATES", "0") == "1"
+        env = os.environ.get("HEVCE_NODE_RATES")
+        if env is not None:
+            node_rates = env == "1"
+        else:
+            import jax
+            node_rates = jax.default_backend() == "tpu"
     trace_env = timer is None and os.environ.get("HEVCE_TRACE", "0") == "1"
     if trace_env:
         from hevce_tpu.utils.tracing import PhaseTimer
@@ -188,10 +245,13 @@ def encode_batch(images, qpd6: int, node_rates: bool = None, timer=None):
     req_state = _view(lib, handle, 13, np.int32, B * 7).reshape(B, 7)
     req_ctxs = _view(lib, handle, 14, np.int32, B * 142).reshape(B, 142)
     req_meta = _view(lib, handle, 15, np.int32, B * 4).reshape(B, 4)
+    req_fetch = _view(lib, handle, 16, np.int32, B)
 
     szv = ctypes.c_int(0)
     ok = False
+    pend = {}    # device-resident candidate arrays awaiting the fetch event
     try:
+        import jax
         while True:
             with timer.phase("host_arbiter"):
                 kind = lib.hevce_batch_next(handle, ctypes.byref(szv))
@@ -199,25 +259,24 @@ def encode_batch(images, qpd6: int, node_rates: bool = None, timer=None):
                 break
             sz = szv.value
             nn = sz * sz
-            top = req_top[:, :1 + 2 * sz]
-            left = req_left[:, :2 * sz]
-            flags = req_flags.astype(bool)
-            orig = req_orig[:, :nn].reshape(B, sz, sz)
+            if kind in (KIND_NODE, KIND_PU):
+                top = req_top[:, :1 + 2 * sz]
+                left = req_left[:, :2 * sz]
+                flags = req_flags.astype(bool)
+                orig = req_orig[:, :nn].reshape(B, sz, sz)
             if kind == KIND_NODE:
+                # phase A: candidates stay on device; only sse + rates cross
                 with timer.phase(f"device_math_node{sz}"):
-                    import jax
                     if node_rates:
-                        out = jax.block_until_ready(_jit_node_step(sz, qpd6)(
+                        out = _jit_node_step(sz, qpd6)(
                             top, left, flags, orig,
-                            req_state.copy(), req_ctxs.copy(), req_meta.copy()))
+                            req_state.copy(), req_ctxs.copy(), req_meta.copy())
                         q1, r1, s1, q4, r4, s4, rates2, rates3 = out
                     else:
-                        q1, r1, s1 = jax.block_until_ready(
-                            cu_eval.jit_eval_2nx2n(sz, qpd6)(
-                                top, left, flags, orig))
-                        q4, r4, s4 = jax.block_until_ready(
-                            cu_eval.jit_eval_tusplit(sz, qpd6)(
-                                top, left, flags, orig))
+                        q1, r1, s1 = cu_eval.jit_eval_2nx2n(sz, qpd6)(
+                            top, left, flags, orig)
+                        q4, r4, s4 = cu_eval.jit_eval_tusplit(sz, qpd6)(
+                            top, left, flags, orig)
                         rates2 = rates3 = None
                 with timer.phase("writeback"):
                     if node_rates:
@@ -226,22 +285,60 @@ def encode_batch(images, qpd6: int, node_rates: bool = None, timer=None):
                     else:
                         res_rates2[:] = -1
                         res_rates3[:] = -1
-                    res_quant[:B * MODES * nn] = np.asarray(q1).reshape(-1)
-                    res_recon[:B * MODES * nn] = np.asarray(r1, np.uint8).reshape(-1)
                     res_sse[:] = np.asarray(s1).reshape(-1)
-                    res_quant4[:B * MODES * nn] = np.asarray(q4).reshape(-1)
-                    res_recon4[:B * MODES * nn] = np.asarray(r4, np.uint8).reshape(-1)
                     res_sse4[:] = np.asarray(s4).reshape(-1)
-            else:  # PU event: 4x4 single-TU math + fused device rate oracle
+                pend = dict(q1=q1, r1=r1, q4=q4, r4=r4)
+            elif kind == KIND_PU:
+                # PU rates are always fused (device oracle); phase A likewise
                 with timer.phase("device_math_pu"):
-                    import jax
-                    q1, r1, s1, rates = jax.block_until_ready(
-                        _jit_pu_step(qpd6)(top, left, flags, orig))
+                    q1, r1, s1, rates = _jit_pu_step(qpd6)(
+                        top, left, flags, orig)
                 with timer.phase("writeback"):
-                    res_quant[:B * MODES * 16] = np.asarray(q1).reshape(-1)
-                    res_recon[:B * MODES * 16] = np.asarray(r1, np.uint8).reshape(-1)
                     res_sse[:] = np.asarray(s1).reshape(-1)
                     res_rates[:] = np.asarray(rates).reshape(-1)
+                pend = dict(q1=q1, r1=r1)
+            elif kind == KIND_NODE_FETCH:
+                sel = req_fetch.copy()
+                with timer.phase("winner_fetch"):
+                    if (sel == -1).any():
+                        # host trials needed somewhere: materialize everything
+                        res_quant[:B * MODES * nn] = np.asarray(pend["q1"]).reshape(-1)
+                        res_recon[:B * MODES * nn] = np.asarray(
+                            pend["r1"], np.uint8).reshape(-1)
+                        res_quant4[:B * MODES * nn] = np.asarray(pend["q4"]).reshape(-1)
+                        res_recon4[:B * MODES * nn] = np.asarray(
+                            pend["r4"], np.uint8).reshape(-1)
+                    elif (sel >= 0).any():
+                        wq, wr = _jit_gather_node(sz)(
+                            pend["q1"], pend["r1"], pend["q4"], pend["r4"], sel)
+                        wq = np.asarray(wq)
+                        wr = np.asarray(wr)
+                        for i in np.nonzero(sel >= 0)[0]:
+                            layout, pm = divmod(int(sel[i]), MODES)
+                            off = (i * MODES + pm) * nn
+                            if layout == 0:
+                                res_quant[off:off + nn] = wq[i]
+                                res_recon[off:off + nn] = wr[i]
+                            else:
+                                res_quant4[off:off + nn] = wq[i]
+                                res_recon4[off:off + nn] = wr[i]
+                pend = {}
+            else:  # KIND_PU_FETCH
+                sel = req_fetch.copy()
+                with timer.phase("winner_fetch"):
+                    if (sel == -1).any():
+                        res_quant[:B * MODES * 16] = np.asarray(pend["q1"]).reshape(-1)
+                        res_recon[:B * MODES * 16] = np.asarray(
+                            pend["r1"], np.uint8).reshape(-1)
+                    elif (sel >= 0).any():
+                        wq, wr = _jit_gather_pu()(pend["q1"], pend["r1"], sel)
+                        wq = np.asarray(wq)
+                        wr = np.asarray(wr)
+                        for i in np.nonzero(sel >= 0)[0]:
+                            off = (i * MODES + int(sel[i])) * 16
+                            res_quant[off:off + 16] = wq[i]
+                            res_recon[off:off + 16] = wr[i]
+                pend = {}
             lib.hevce_batch_supply(handle)
 
         with timer.phase("finish"):
