@@ -53,8 +53,18 @@ def _view(lib, handle, which, dtype, count):
 _NODE_CAPS = {8: 768, 16: 2048, 32: 7168}
 
 
+def _shardings(mesh, nin, nout):
+    """batch-axis data-parallel shardings over mesh axis 'img' (SURVEY §2.4:
+    DP over images is the natural multi-chip mapping for this encoder)."""
+    if mesh is None:
+        return {}
+    from jax.sharding import NamedSharding, PartitionSpec
+    sh = NamedSharding(mesh, PartitionSpec("img"))
+    return dict(in_shardings=(sh,) * nin, out_shardings=(sh,) * nout)
+
+
 @functools.lru_cache(maxsize=None)
-def _jit_node_step(sz: int, qpd6: int):
+def _jit_node_step(sz: int, qpd6: int, mesh=None):
     """node event: candidate math for both TU layouts + device trial rates
     against the uploaded fork state (ROADMAP Phase B integration).
 
@@ -109,7 +119,42 @@ def _jit_node_step(sz: int, qpd6: int):
         return (q1, r1, s1, q4, r4, s4,
                 rates2.reshape(B, MODES), rates3.reshape(B, MODES))
 
-    return jax.jit(step)
+    return jax.jit(step, **_shardings(mesh, 7, 8))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_sums(n: int):
+    """int32 wrap-around checksums of n arrays (device side)."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(*arrs):
+        return tuple(jnp.sum(a.astype(jnp.int32)) for a in arrs)
+
+    return jax.jit(f)
+
+
+def _verified_get(arrs):
+    """Transfer device arrays to host, validating a device-computed int32
+    checksum per array (the axon TPU tunnel corrupted one large transfer in
+    round 1 — VERIFICATION.md). Fails loudly on mismatch so a corrupted
+    batch can never silently produce wrong streams. Enabled with
+    HEVCE_VERIFY_TRANSFERS=1 (costs one extra device round trip per fetch,
+    so it is opt-in)."""
+    want = [int(s) for s in _get(_jit_sums(len(arrs))(*arrs), False)]
+    host = [np.asarray(a) for a in arrs]
+    got = [int(h.astype(np.int32).sum(dtype=np.int32)) for h in host]
+    if got != want:
+        raise IOError(
+            "device->host transfer checksum mismatch (tunnel corruption): "
+            f"expected {want}, got {got}")
+    return host
+
+
+def _get(arrs, verify):
+    if verify:
+        return _verified_get(list(arrs))
+    return [np.asarray(a) for a in arrs]
 
 
 @functools.lru_cache(maxsize=None)
@@ -157,7 +202,7 @@ def _jit_gather_pu():
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_pu_step(qpd6: int):
+def _jit_pu_step(qpd6: int, mesh=None):
     """4x4 PU step: candidate math + fused device rate oracle.
 
     The step-4 PU rate is a fresh-coder putCoef CABAClen (reference
@@ -181,13 +226,20 @@ def _jit_pu_step(qpd6: int):
         rates = jnp.where(overflow, -1, rates).reshape(B, MODES)
         return q1, r1, s1, rates
 
-    return jax.jit(step)
+    return jax.jit(step, **_shardings(mesh, 4, 4))
 
 
-def encode_batch(images, qpd6: int, node_rates: bool = None, timer=None):
+def encode_batch(images, qpd6: int, node_rates: bool = None, timer=None,
+                 mesh=None):
     """Encode a list of same-shaped uint8 grayscale images bit-exactly.
 
     Returns (list of stream bytes, list of recon arrays (padded dims)).
+
+    mesh: optional jax.sharding.Mesh with an 'img' axis — the device steps
+    (candidate math + rate oracle) are sharded over images (data parallelism
+    over ICI, SURVEY §2.4); len(images) must be a multiple of the axis size.
+    Streams remain bit-exact: arbitration is per-image and sharding only
+    distributes the math.
 
     node_rates: also compute step-2/3 trial rates on device (full Phase B
     data path; the Pallas CABAC scan kernel, ~2M rates/s/chip on v5e).
@@ -201,6 +253,10 @@ def encode_batch(images, qpd6: int, node_rates: bool = None, timer=None):
     finish). Setting HEVCE_TRACE=1 creates one and prints the report to
     stderr on return.
     """
+    if mesh is not None:
+        node_rates = True   # the mesh path shards the full Phase B data path
+        assert len(images) % mesh.devices.size == 0, \
+            "batch must be a multiple of the mesh axis size"
     if node_rates is None:
         env = os.environ.get("HEVCE_NODE_RATES")
         if env is not None:
@@ -208,6 +264,7 @@ def encode_batch(images, qpd6: int, node_rates: bool = None, timer=None):
         else:
             import jax
             node_rates = jax.default_backend() == "tpu"
+    verify = os.environ.get("HEVCE_VERIFY_TRANSFERS", "0") == "1"
     trace_env = timer is None and os.environ.get("HEVCE_TRACE", "0") == "1"
     if trace_env:
         from hevce_tpu.utils.tracing import PhaseTimer
@@ -268,7 +325,7 @@ def encode_batch(images, qpd6: int, node_rates: bool = None, timer=None):
                 # phase A: candidates stay on device; only sse + rates cross
                 with timer.phase(f"device_math_node{sz}"):
                     if node_rates:
-                        out = _jit_node_step(sz, qpd6)(
+                        out = _jit_node_step(sz, qpd6, mesh)(
                             top, left, flags, orig,
                             req_state.copy(), req_ctxs.copy(), req_meta.copy())
                         q1, r1, s1, q4, r4, s4, rates2, rates3 = out
@@ -280,39 +337,42 @@ def encode_batch(images, qpd6: int, node_rates: bool = None, timer=None):
                         rates2 = rates3 = None
                 with timer.phase("writeback"):
                     if node_rates:
-                        res_rates2[:] = np.asarray(rates2).reshape(-1)
-                        res_rates3[:] = np.asarray(rates3).reshape(-1)
+                        h2, h3, hs1, hs4 = _get((rates2, rates3, s1, s4), verify)
+                        res_rates2[:] = h2.reshape(-1)
+                        res_rates3[:] = h3.reshape(-1)
                     else:
                         res_rates2[:] = -1
                         res_rates3[:] = -1
-                    res_sse[:] = np.asarray(s1).reshape(-1)
-                    res_sse4[:] = np.asarray(s4).reshape(-1)
+                        hs1, hs4 = _get((s1, s4), verify)
+                    res_sse[:] = hs1.reshape(-1)
+                    res_sse4[:] = hs4.reshape(-1)
                 pend = dict(q1=q1, r1=r1, q4=q4, r4=r4)
             elif kind == KIND_PU:
                 # PU rates are always fused (device oracle); phase A likewise
                 with timer.phase("device_math_pu"):
-                    q1, r1, s1, rates = _jit_pu_step(qpd6)(
+                    q1, r1, s1, rates = _jit_pu_step(qpd6, mesh)(
                         top, left, flags, orig)
                 with timer.phase("writeback"):
-                    res_sse[:] = np.asarray(s1).reshape(-1)
-                    res_rates[:] = np.asarray(rates).reshape(-1)
+                    hs1, hr = _get((s1, rates), verify)
+                    res_sse[:] = hs1.reshape(-1)
+                    res_rates[:] = hr.reshape(-1)
                 pend = dict(q1=q1, r1=r1)
             elif kind == KIND_NODE_FETCH:
                 sel = req_fetch.copy()
                 with timer.phase("winner_fetch"):
                     if (sel == -1).any():
                         # host trials needed somewhere: materialize everything
-                        res_quant[:B * MODES * nn] = np.asarray(pend["q1"]).reshape(-1)
-                        res_recon[:B * MODES * nn] = np.asarray(
-                            pend["r1"], np.uint8).reshape(-1)
-                        res_quant4[:B * MODES * nn] = np.asarray(pend["q4"]).reshape(-1)
-                        res_recon4[:B * MODES * nn] = np.asarray(
-                            pend["r4"], np.uint8).reshape(-1)
+                        hq1, hr1, hq4, hr4 = _get(
+                            (pend["q1"], pend["r1"], pend["q4"], pend["r4"]),
+                            verify)
+                        res_quant[:B * MODES * nn] = hq1.reshape(-1)
+                        res_recon[:B * MODES * nn] = hr1.astype(np.uint8).reshape(-1)
+                        res_quant4[:B * MODES * nn] = hq4.reshape(-1)
+                        res_recon4[:B * MODES * nn] = hr4.astype(np.uint8).reshape(-1)
                     elif (sel >= 0).any():
                         wq, wr = _jit_gather_node(sz)(
                             pend["q1"], pend["r1"], pend["q4"], pend["r4"], sel)
-                        wq = np.asarray(wq)
-                        wr = np.asarray(wr)
+                        wq, wr = _get((wq, wr), verify)
                         for i in np.nonzero(sel >= 0)[0]:
                             layout, pm = divmod(int(sel[i]), MODES)
                             off = (i * MODES + pm) * nn
@@ -327,13 +387,12 @@ def encode_batch(images, qpd6: int, node_rates: bool = None, timer=None):
                 sel = req_fetch.copy()
                 with timer.phase("winner_fetch"):
                     if (sel == -1).any():
-                        res_quant[:B * MODES * 16] = np.asarray(pend["q1"]).reshape(-1)
-                        res_recon[:B * MODES * 16] = np.asarray(
-                            pend["r1"], np.uint8).reshape(-1)
+                        hq1, hr1 = _get((pend["q1"], pend["r1"]), verify)
+                        res_quant[:B * MODES * 16] = hq1.reshape(-1)
+                        res_recon[:B * MODES * 16] = hr1.astype(np.uint8).reshape(-1)
                     elif (sel >= 0).any():
                         wq, wr = _jit_gather_pu()(pend["q1"], pend["r1"], sel)
-                        wq = np.asarray(wq)
-                        wr = np.asarray(wr)
+                        wq, wr = _get((wq, wr), verify)
                         for i in np.nonzero(sel >= 0)[0]:
                             off = (i * MODES + int(sel[i])) * 16
                             res_quant[off:off + 16] = wq[i]

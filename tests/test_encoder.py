@@ -111,6 +111,27 @@ def test_lockstep_batch_matches_sequential(golden):
     assert "host_arbiter" in timer.report()
 
 
+@pytest.mark.slow
+def test_lockstep_mesh_end_to_end():
+    """Mesh-sharded end-to-end encode (VERDICT r1 item 5): the full Phase B
+    data path (candidate math + device rate oracle) sharded over an 8-device
+    'img' mesh produces bit-exact streams."""
+    import jax
+
+    from hevce_tpu.parallel.batch import make_mesh
+    from hevce_tpu.parallel.lockstep import encode_batch
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    mesh = make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 256, (32, 32)).astype(np.uint8) for _ in range(8)]
+    streams, rcons = encode_batch(imgs, 4, mesh=mesh)
+    for i, im in enumerate(imgs):
+        s_ref, r_ref = encode_image_native(im, 4)
+        assert streams[i] == s_ref, f"image {i}"
+        np.testing.assert_array_equal(rcons[i], r_ref)
+
+
 def test_lockstep_with_device_node_rates(golden):
     """full Phase B data path: steps-2/3 trial rates computed on device"""
     from hevce_tpu.parallel.lockstep import encode_batch
