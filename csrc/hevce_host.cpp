@@ -453,11 +453,13 @@ static void put_exgolomb(CabacEnc& e, i32 value, i32 rparam) {
 }
 
 // full residual coding of a quantized TU; blk has stride = sz
-static void put_coef(CabacEnc& e, CtxSet& c, i32 sz, bool chroma, i32 pmode, const i32* blk) {
+template <int SZ>
+static void put_coef_t(CabacEnc& e, CtxSet& c, bool chroma, i32 pmode, const i32* blk) {
+    constexpr i32 sz = SZ;
     const uint16_t* scan;
     int stype = scan_select(sz, pmode, &scan);
-    i32 ncg = sz / 4;
-    int si = sz == 4 ? 0 : sz == 8 ? 1 : sz == 16 ? 2 : 3;
+    constexpr i32 ncg = sz / 4;
+    constexpr int si = sz == 4 ? 0 : sz == 8 ? 1 : sz == 16 ? 2 : 3;
     const u8* sigtab = SC.sig[si][stype][0].data();   // re-picked per CG
 
     // last-significant scan index + CG occupancy via a raster pass over the
@@ -540,10 +542,59 @@ static void put_coef(CabacEnc& e, CtxSet& c, i32 sz, bool chroma, i32 pmode, con
     }
 }
 
+// size-dispatch wrapper: ~77% of trial-encode put_coef calls are 4x4
+// (PU fresh rates + 8x8-node TU-split trials), where the specialized
+// instantiation folds away the CG machinery entirely
+static void put_coef(CabacEnc& e, CtxSet& c, i32 sz, bool chroma, i32 pmode, const i32* blk) {
+    switch (sz) {
+        case 4: put_coef_t<4>(e, c, chroma, pmode, blk); break;
+        case 8: put_coef_t<8>(e, c, chroma, pmode, blk); break;
+        case 16: put_coef_t<16>(e, c, chroma, pmode, blk); break;
+        default: put_coef_t<32>(e, c, chroma, pmode, blk); break;
+    }
+}
+
 static inline bool block_nonzero(const i32* blk, i32 n) {
     for (i32 i = 0; i < n; i++)
         if (blk[i]) return true;
     return false;
+}
+
+// provable LOWER bound on put_coef's bit count for a quantized block:
+//  * every nonzero coefficient emits exactly one sign bypass bit;
+//  * every |level| >= 3 escapes (esc = |level| - fc2 with fc2 <= 3,
+//    put_coef's greater1 bookkeeping) and put_exgolomb(esc, r) emits a
+//    bit count that is monotone in esc for every rparam, so
+//    min over r in [0,4] of bits(|level|-3, r) never overstates it.
+// Context-coded bins are bounded below by zero. Used to SKIP hopeless
+// trial encodes one-sidedly (cost > best provable), preserving ties.
+static i32 kMinEscBits[512];
+static inline i32 exgolomb_bits(i32 value, i32 rparam) {
+    if (value < (3 << rparam)) return (value >> rparam) + 1 + rparam;
+    i32 len = rparam;
+    value -= 3 << rparam;
+    while (value >= (1 << len)) { value -= 1 << len; len++; }
+    return (4 + len - rparam) + len;
+}
+static const bool kMinEscInit = [] {
+    for (i32 v = 0; v < 512; v++) {
+        i32 b = INT32_MAX;
+        for (i32 r = 0; r <= 4; r++) b = std::min(b, exgolomb_bits(v, r));
+        kMinEscBits[v] = b;
+    }
+    return true;
+}();
+
+static i32 rate_floor(const i32* blk, i32 n) {
+    i32 lb = 0;
+    for (i32 i = 0; i < n; i++) {
+        i32 v = blk[i];
+        if (!v) continue;
+        i32 av = v < 0 ? -v : v;
+        lb += 1;  // sign bypass
+        if (av >= 3) lb += kMinEscBits[av - 3 < 511 ? av - 3 : 511];
+    }
+    return lb;
 }
 
 // CU serializers; blk/sub stride == their own size
@@ -828,8 +879,10 @@ static inline i32 coeff_rate_fast(i32 level) {
 // simplified RDOQ (reference src/HEVCe.c:540-595); src/dst stride sz.
 // Straight-line 3-candidate selection with the reference's tie rule
 // (strict <, high level first) and per-CG kill rule.
-static void quantize(i32 qpd6, i32 sz, const i32* __restrict src, i32* __restrict dst) {
-    const i32 dist_sft = sz == 4 ? 8 : sz == 8 ? 7 : sz == 16 ? 6 : 5;
+template <int SZ>
+static void quantize_t(i32 qpd6, const i32* __restrict src, i32* __restrict dst) {
+    constexpr i32 sz = SZ;
+    constexpr i32 dist_sft = sz == 4 ? 8 : sz == 8 ? 7 : sz == 16 ? 6 : 5;
     const i32 sft = (sz == 4 ? 19 : sz == 8 ? 18 : sz == 16 ? 17 : 16) + qpd6;
     const i32 add = 1 << sft >> 1;
     const i32 max_dl = I32_MAX - add;
@@ -858,6 +911,12 @@ static void quantize(i32 qpd6, i32 sz, const i32* __restrict src, i32* __restric
                     i32 dl0 = (av & 0x1ffff) << 14;
                     i32 dl = (av > 0x1ffff || dl0 >= max_dl) ? max_dl : dl0;
                     i32 l0 = coefclip((dl + add) >> sft);
+                    if (l0 == 0) {
+                        // only candidate is 0 (dl < thr holds: dl < add*2)
+                        dst[y * sz + x] = 0;
+                        cg_sum += dl;
+                        continue;
+                    }
                     i32 bl = l0;
                     i32 bc = cost_of(dl, l0);
                     if (l0 >= 1) {
@@ -875,6 +934,15 @@ static void quantize(i32 qpd6, i32 sz, const i32* __restrict src, i32* __restric
                 for (i32 y = yc; y < yc + 4; y++)
                     for (i32 x = xc; x < xc + 4; x++) dst[y * sz + x] = 0;
         }
+}
+
+static void quantize(i32 qpd6, i32 sz, const i32* __restrict src, i32* __restrict dst) {
+    switch (sz) {
+        case 4: quantize_t<4>(qpd6, src, dst); break;
+        case 8: quantize_t<8>(qpd6, src, dst); break;
+        case 16: quantize_t<16>(qpd6, src, dst); break;
+        default: quantize_t<32>(qpd6, src, dst); break;
+    }
 }
 
 static void dequantize(i32 qpd6, i32 sz, const i32* src, i32* dst) {
@@ -1375,8 +1443,20 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
             }
             i32 sub_best = I32_MAX;
             // fresh-coder rate approximation per candidate (src/HEVCe.c:1505-1519);
-            // device-supplied rates short-circuit the host trial encode
-            for (i32 pm = 0; pm < MODES; pm++) {
+            // device-supplied rates short-circuit the host trial encode.
+            // Modes are visited by ASCENDING SSE so the dist-floor/budget
+            // prunes bite early; decision-equivalent to reference order
+            // because the fresh-coder rate is order-independent (pure
+            // function of the block) and ties pick the LARGEST mode index
+            // (sub_best >= cost commits the later candidate).
+            i32 order[MODES];
+            for (i32 i = 0; i < MODES; i++) order[i] = i;
+            std::sort(order, order + MODES, [&](i32 a, i32 b) {
+                return P.sse[a] != P.sse[b] ? P.sse[a] < P.sse[b] : a < b;
+            });
+            i32 win_pm_ref = -1;   // mode index of the winner (tie: largest)
+            for (i32 k = 0; k < MODES; k++) {
+                const i32 pm = order[k];
                 i32 sse = P.sse[pm];
                 i32 c1f = dist_floor(q, sse);
                 if (c1f > sub_best) continue;
@@ -1396,6 +1476,8 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
                     if (rcache.stype[slot] == stype &&
                         std::memcmp(rcache.blk[slot], blk, 64) == 0) {
                         rate = rcache.val[slot];
+                    } else if (rate_floor(blk, 16) > budget) {
+                        continue;   // fresh rate >= floor > budget: loses
                     } else {
                         CabacEnc ne;             // count-only sink (rate trial)
                         CtxSet nc;
@@ -1411,20 +1493,17 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
                     continue;
                 }
                 i32 cost = rd_cost(q, sse, rate);
-                if (sub_best >= cost) {
+                if (cost < sub_best || (cost == sub_best && pm > win_pm_ref)) {
                     sub_best = cost;
-                    sub_pm[isub] = pm;
-                    if (fetched_full) {
-                        std::memcpy(sub_q[isub], P.quant + pm * 16, 16 * sizeof(i32));
-                        for (i32 i = 0; i < h; i++)
-                            std::memcpy(&st.rcon[(size_t)(py + i) * st.xszn + px],
-                                        P.recon + pm * 16 + i * h, h);
-                    }
+                    win_pm_ref = pm;
                 }
             }
+            sub_pm[isub] = win_pm_ref;
             if (two_phase && !fetched_full) {
-                // fetch the winning PU's blocks and commit them now
+                // fetch the winning PU's blocks before committing them
                 st.mp->fetch_pu(sub_pm[isub]);
+            }
+            {
                 i32 pm = sub_pm[isub];
                 std::memcpy(sub_q[isub], P.quant + pm * 16, 16 * sizeof(i32));
                 for (i32 i = 0; i < h; i++)
