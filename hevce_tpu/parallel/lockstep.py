@@ -7,8 +7,14 @@ single jitted TPU step computes all candidates, and the workers' RD arbiters
 (live CABAC state, trial encodes) consume the results. Streams are identical
 to the sequential/reference encoder.
 
-This is ROADMAP.md Phase A: the 68%-of-runtime math runs on the device; the
-host cost is the sequential entropy arbitration only.
+This is ROADMAP.md Phase A+B: the 68%-of-runtime math and the exact CABAC
+trial rates run on the device; the host cost is sequential arbitration only.
+
+Pipelining (SURVEY §2.4 PP row): with ``pipeline=True`` the batch is split
+into two half-batches driven by interleaved dispatch/complete, so one half's
+device step is in flight while the other half's host arbiters consume their
+results — device math hides behind host arbitration and vice versa. Streams
+are bit-exact either way (the halves are independent images).
 """
 import ctypes
 import functools
@@ -214,7 +220,6 @@ def _jit_pu_step(qpd6: int, mesh=None):
     import jax
     import jax.numpy as jnp
 
-    from hevce_tpu.ops import cabac_sim as sim
     from hevce_tpu.ops import coef_ops as co
 
     def step(top, left, flags, orig):
@@ -229,8 +234,223 @@ def _jit_pu_step(qpd6: int, mesh=None):
     return jax.jit(step, **_shardings(mesh, 4, 4))
 
 
+class _Run:
+    """One lockstep engine instance (one C++ BatchEngine + its device state),
+    with the per-event work split into next / dispatch / complete so a driver
+    can keep two instances in flight (pipelined halves)."""
+
+    def __init__(self, lib, images, qpd6, node_rates, mesh, verify, timer, tag=""):
+        self.lib = lib
+        self.qpd6 = qpd6
+        self.node_rates = node_rates
+        self.mesh = mesh
+        self.verify = verify
+        self.timer = timer
+        self.tag = tag
+        self.B = B = len(images)
+        self.ysz, self.xsz = images[0].shape
+        self.yp = -(-self.ysz // 32) * 32
+        self.xp = -(-self.xsz // 32) * 32
+        self.blob = np.concatenate([im.reshape(-1) for im in images])
+        self.handle = lib.hevce_batch_create(
+            self.blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            B, self.ysz, self.xsz, qpd6)
+        assert self.handle
+        self.req_top = _view(lib, self.handle, 0, np.int32, B * 65).reshape(B, 65)
+        self.req_left = _view(lib, self.handle, 1, np.int32, B * 64).reshape(B, 64)
+        self.req_flags = _view(lib, self.handle, 2, np.uint8, B * 4).reshape(B, 4)
+        self.req_orig = _view(lib, self.handle, 3, np.int32, B * 1024).reshape(B, 1024)
+        self.res_quant = _view(lib, self.handle, 4, np.int32, B * MODES * 1024)
+        self.res_recon = _view(lib, self.handle, 5, np.uint8, B * MODES * 1024)
+        self.res_sse = _view(lib, self.handle, 6, np.int32, B * MODES)
+        self.res_quant4 = _view(lib, self.handle, 7, np.int32, B * MODES * 1024)
+        self.res_recon4 = _view(lib, self.handle, 8, np.uint8, B * MODES * 1024)
+        self.res_sse4 = _view(lib, self.handle, 9, np.int32, B * MODES)
+        self.res_rates = _view(lib, self.handle, 10, np.int32, B * MODES)
+        self.res_rates2 = _view(lib, self.handle, 11, np.int32, B * MODES)
+        self.res_rates3 = _view(lib, self.handle, 12, np.int32, B * MODES)
+        self.req_state = _view(lib, self.handle, 13, np.int32, B * 7).reshape(B, 7)
+        self.req_ctxs = _view(lib, self.handle, 14, np.int32, B * 142).reshape(B, 142)
+        self.req_meta = _view(lib, self.handle, 15, np.int32, B * 4).reshape(B, 4)
+        self.req_fetch = _view(lib, self.handle, 16, np.int32, B)
+        self._szv = ctypes.c_int(0)
+        self.kind = None
+        self.sz = 0
+        self.pend = {}      # device-resident candidates awaiting the fetch event
+        self._out = None    # in-flight device results for the current event
+        self.done = False
+
+    # -- event machinery ----------------------------------------------------
+    def next(self):
+        """Block until all workers rendezvous at the next schedule event."""
+        with self.timer.phase("host_arbiter"):
+            self.kind = self.lib.hevce_batch_next(self.handle,
+                                                  ctypes.byref(self._szv))
+        self.sz = self._szv.value
+        if self.kind == KIND_DONE:
+            self.done = True
+        return self.kind
+
+    def _start_fetch(self, arrs):
+        """Begin the device->host transfers without blocking, so two in-flight
+        runs overlap their round trips (complete() then finds the data already
+        on its way). Opt-in via HEVCE_ASYNC_FETCH=1: measured to HANG the
+        tunneled axon TPU backend (a copy_to_host_async that never completes),
+        so it must only be enabled on backends where it is known-good."""
+        if os.environ.get("HEVCE_ASYNC_FETCH", "0") != "1":
+            return
+        for a in arrs:
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+
+    def dispatch(self):
+        """Issue this event's device computation (async; does not block on
+        results). Request buffers are fully consumed here, so the engine can
+        be resupplied as soon as complete() has written the results back."""
+        kind, sz, B = self.kind, self.sz, self.B
+        nn = sz * sz
+        if kind in (KIND_NODE, KIND_PU):
+            top = self.req_top[:, :1 + 2 * sz]
+            left = self.req_left[:, :2 * sz]
+            flags = self.req_flags.astype(bool)
+            orig = self.req_orig[:, :nn].reshape(B, sz, sz)
+        if kind == KIND_NODE:
+            with self.timer.phase(f"device_math_node{sz}"):
+                if self.node_rates:
+                    self._out = _jit_node_step(sz, self.qpd6, self.mesh)(
+                        top, left, flags, orig, self.req_state.copy(),
+                        self.req_ctxs.copy(), self.req_meta.copy())
+                else:
+                    q1, r1, s1 = cu_eval.jit_eval_2nx2n(sz, self.qpd6)(
+                        top, left, flags, orig)
+                    q4, r4, s4 = cu_eval.jit_eval_tusplit(sz, self.qpd6)(
+                        top, left, flags, orig)
+                    self._out = (q1, r1, s1, q4, r4, s4, None, None)
+            o = self._out
+            self._start_fetch((o[6], o[7], o[2], o[5]) if self.node_rates
+                              else (o[2], o[5]))
+        elif kind == KIND_PU:
+            with self.timer.phase("device_math_pu"):
+                self._out = _jit_pu_step(self.qpd6, self.mesh)(
+                    top, left, flags, orig)
+            self._start_fetch((self._out[2], self._out[3]))
+        elif kind == KIND_NODE_FETCH:
+            sel = self.req_fetch.copy()
+            p = self.pend
+            with self.timer.phase("winner_fetch"):
+                if (sel == -1).any():
+                    self._out = ("full", sel, (p["q1"], p["r1"], p["q4"], p["r4"]))
+                elif (sel >= 0).any():
+                    wq, wr = _jit_gather_node(sz)(
+                        p["q1"], p["r1"], p["q4"], p["r4"], sel)
+                    self._out = ("winner", sel, (wq, wr))
+                else:
+                    self._out = ("none", sel, ())
+                self._start_fetch(self._out[2])
+        else:  # KIND_PU_FETCH
+            sel = self.req_fetch.copy()
+            p = self.pend
+            with self.timer.phase("winner_fetch"):
+                if (sel == -1).any():
+                    self._out = ("full", sel, (p["q1"], p["r1"]))
+                elif (sel >= 0).any():
+                    wq, wr = _jit_gather_pu()(p["q1"], p["r1"], sel)
+                    self._out = ("winner", sel, (wq, wr))
+                else:
+                    self._out = ("none", sel, ())
+                self._start_fetch(self._out[2])
+
+    def complete(self):
+        """Materialize the dispatched results, write them into the shared
+        result buffers, and release the workers into the next arbitration."""
+        kind, sz, B = self.kind, self.sz, self.B
+        nn = sz * sz
+        if kind == KIND_NODE:
+            q1, r1, s1, q4, r4, s4, rates2, rates3 = self._out
+            with self.timer.phase("writeback"):
+                if self.node_rates:
+                    h2, h3, hs1, hs4 = _get((rates2, rates3, s1, s4), self.verify)
+                    self.res_rates2[:] = h2.reshape(-1)
+                    self.res_rates3[:] = h3.reshape(-1)
+                else:
+                    self.res_rates2[:] = -1
+                    self.res_rates3[:] = -1
+                    hs1, hs4 = _get((s1, s4), self.verify)
+                self.res_sse[:] = hs1.reshape(-1)
+                self.res_sse4[:] = hs4.reshape(-1)
+            self.pend = dict(q1=q1, r1=r1, q4=q4, r4=r4)
+        elif kind == KIND_PU:
+            q1, r1, s1, rates = self._out
+            with self.timer.phase("writeback"):
+                hs1, hr = _get((s1, rates), self.verify)
+                self.res_sse[:] = hs1.reshape(-1)
+                self.res_rates[:] = hr.reshape(-1)
+            self.pend = dict(q1=q1, r1=r1)
+        elif kind == KIND_NODE_FETCH:
+            mode, sel, arrs = self._out
+            with self.timer.phase("winner_fetch"):
+                if mode == "full":
+                    hq1, hr1, hq4, hr4 = _get(arrs, self.verify)
+                    self.res_quant[:B * MODES * nn] = hq1.reshape(-1)
+                    self.res_recon[:B * MODES * nn] = hr1.astype(np.uint8).reshape(-1)
+                    self.res_quant4[:B * MODES * nn] = hq4.reshape(-1)
+                    self.res_recon4[:B * MODES * nn] = hr4.astype(np.uint8).reshape(-1)
+                elif mode == "winner":
+                    wq, wr = _get(arrs, self.verify)
+                    for i in np.nonzero(sel >= 0)[0]:
+                        layout, pm = divmod(int(sel[i]), MODES)
+                        off = (i * MODES + pm) * nn
+                        if layout == 0:
+                            self.res_quant[off:off + nn] = wq[i]
+                            self.res_recon[off:off + nn] = wr[i]
+                        else:
+                            self.res_quant4[off:off + nn] = wq[i]
+                            self.res_recon4[off:off + nn] = wr[i]
+            self.pend = {}
+        elif kind == KIND_PU_FETCH:
+            mode, sel, arrs = self._out
+            with self.timer.phase("winner_fetch"):
+                if mode == "full":
+                    hq1, hr1 = _get(arrs, self.verify)
+                    self.res_quant[:B * MODES * 16] = hq1.reshape(-1)
+                    self.res_recon[:B * MODES * 16] = hr1.astype(np.uint8).reshape(-1)
+                elif mode == "winner":
+                    wq, wr = _get(arrs, self.verify)
+                    for i in np.nonzero(sel >= 0)[0]:
+                        off = (i * MODES + int(sel[i])) * 16
+                        self.res_quant[off:off + 16] = wq[i]
+                        self.res_recon[off:off + 16] = wr[i]
+            self.pend = {}
+        self._out = None
+        self.lib.hevce_batch_supply(self.handle)
+
+    # -- teardown / results -------------------------------------------------
+    def collect(self):
+        streams, rcons = [], []
+        for s in range(self.B):
+            n = self.lib.hevce_batch_stream(self.handle, s, None)
+            buf = np.empty(n, np.uint8)
+            self.lib.hevce_batch_stream(
+                self.handle, s, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            streams.append(bytes(buf))
+            rc = np.empty((self.yp, self.xp), np.uint8)
+            self.lib.hevce_batch_rcon(
+                self.handle, s, rc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            rcons.append(rc)
+        return streams, rcons
+
+    def destroy(self, ok):
+        if not ok:
+            # free-run blocked workers so destroy() can join; their output
+            # is discarded with the exception
+            self.lib.hevce_batch_abort(self.handle)
+        self.lib.hevce_batch_destroy(self.handle)
+
+
 def encode_batch(images, qpd6: int, node_rates: bool = None, timer=None,
-                 mesh=None):
+                 mesh=None, pipeline: bool = None):
     """Encode a list of same-shaped uint8 grayscale images bit-exactly.
 
     Returns (list of stream bytes, list of recon arrays (padded dims)).
@@ -248,11 +468,24 @@ def encode_batch(images, qpd6: int, node_rates: bool = None, timer=None,
     (the jnp scan fallback is slower than host trials). Override with the
     HEVCE_NODE_RATES env var (0/1).
 
+    pipeline: split the batch into two interleaved half-batches so one
+    half's device step is dispatched while the other half's arbiters run
+    (SURVEY §2.4 PP — device-ahead pipelining). Bit-exact (halves are
+    independent). Default OFF (HEVCE_PIPELINE=1 enables): pipelining wins
+    when per-event device compute rivals host arbitration (co-located TPU,
+    large batches); over the tunneled TPU used here the per-event round
+    trip dominates and lockstep batching across images already amortizes
+    it, so splitting the batch doubles the RTT count and LOSES ~2x
+    (measured: 32x32 B=4 qpd6=2, 10.0s sequential vs 18.8s pipelined).
+
     timer: optional utils.tracing.PhaseTimer accumulating the per-phase
     breakdown (host_arbiter / device_math / writeback / winner_fetch /
     finish). Setting HEVCE_TRACE=1 creates one and prints the report to
-    stderr on return.
+    stderr on return. With pipelining, phases of the two halves overlap in
+    wall time, so the phase sums can exceed the elapsed time.
     """
+    import jax
+
     if mesh is not None:
         node_rates = True   # the mesh path shards the full Phase B data path
         assert len(images) % mesh.devices.size == 0, \
@@ -262,13 +495,11 @@ def encode_batch(images, qpd6: int, node_rates: bool = None, timer=None,
         if env is not None:
             node_rates = env == "1"
         else:
-            import jax
             node_rates = jax.default_backend() == "tpu"
+    if pipeline is None:
+        pipeline = os.environ.get("HEVCE_PIPELINE", "0") == "1"
     verify = os.environ.get("HEVCE_VERIFY_TRANSFERS", "0") == "1"
     trace_env = timer is None and os.environ.get("HEVCE_TRACE", "0") == "1"
-    if trace_env:
-        from hevce_tpu.utils.tracing import PhaseTimer
-        timer = PhaseTimer()
     if timer is None:
         from hevce_tpu.utils.tracing import PhaseTimer
         timer = PhaseTimer()    # negligible overhead; keeps the code single-path
@@ -276,150 +507,53 @@ def encode_batch(images, qpd6: int, node_rates: bool = None, timer=None,
     shape = images[0].shape
     assert all(im.shape == shape for im in images), "batch must share dims"
     B = len(images)
-    ysz, xsz = shape
-    yp, xp = -(-ysz // 32) * 32, -(-xsz // 32) * 32
+
+    # two pipelined halves need a valid (mesh-divisible, non-empty) split
+    halves = None
+    if pipeline and B >= 2:
+        cut = B // 2
+        if mesh is not None:
+            d = mesh.devices.size
+            cut = (cut // d) * d
+        if 0 < cut < B:
+            halves = (images[:cut], images[cut:])
 
     lib = native._load()
     _bind(lib)
-    blob = np.concatenate([im.reshape(-1) for im in images])  # keep alive
-    handle = lib.hevce_batch_create(
-        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), B, ysz, xsz, qpd6)
-    assert handle
-
-    req_top = _view(lib, handle, 0, np.int32, B * 65).reshape(B, 65)
-    req_left = _view(lib, handle, 1, np.int32, B * 64).reshape(B, 64)
-    req_flags = _view(lib, handle, 2, np.uint8, B * 4).reshape(B, 4)
-    req_orig = _view(lib, handle, 3, np.int32, B * 1024).reshape(B, 1024)
-    res_quant = _view(lib, handle, 4, np.int32, B * MODES * 1024)
-    res_recon = _view(lib, handle, 5, np.uint8, B * MODES * 1024)
-    res_sse = _view(lib, handle, 6, np.int32, B * MODES)
-    res_quant4 = _view(lib, handle, 7, np.int32, B * MODES * 1024)
-    res_recon4 = _view(lib, handle, 8, np.uint8, B * MODES * 1024)
-    res_sse4 = _view(lib, handle, 9, np.int32, B * MODES)
-    res_rates = _view(lib, handle, 10, np.int32, B * MODES)
-    res_rates2 = _view(lib, handle, 11, np.int32, B * MODES)
-    res_rates3 = _view(lib, handle, 12, np.int32, B * MODES)
-    req_state = _view(lib, handle, 13, np.int32, B * 7).reshape(B, 7)
-    req_ctxs = _view(lib, handle, 14, np.int32, B * 142).reshape(B, 142)
-    req_meta = _view(lib, handle, 15, np.int32, B * 4).reshape(B, 4)
-    req_fetch = _view(lib, handle, 16, np.int32, B)
-
-    szv = ctypes.c_int(0)
+    runs = []
     ok = False
-    pend = {}    # device-resident candidate arrays awaiting the fetch event
     try:
-        import jax
-        while True:
-            with timer.phase("host_arbiter"):
-                kind = lib.hevce_batch_next(handle, ctypes.byref(szv))
-            if kind == KIND_DONE:
-                break
-            sz = szv.value
-            nn = sz * sz
-            if kind in (KIND_NODE, KIND_PU):
-                top = req_top[:, :1 + 2 * sz]
-                left = req_left[:, :2 * sz]
-                flags = req_flags.astype(bool)
-                orig = req_orig[:, :nn].reshape(B, sz, sz)
-            if kind == KIND_NODE:
-                # phase A: candidates stay on device; only sse + rates cross
-                with timer.phase(f"device_math_node{sz}"):
-                    if node_rates:
-                        out = _jit_node_step(sz, qpd6, mesh)(
-                            top, left, flags, orig,
-                            req_state.copy(), req_ctxs.copy(), req_meta.copy())
-                        q1, r1, s1, q4, r4, s4, rates2, rates3 = out
-                    else:
-                        q1, r1, s1 = cu_eval.jit_eval_2nx2n(sz, qpd6)(
-                            top, left, flags, orig)
-                        q4, r4, s4 = cu_eval.jit_eval_tusplit(sz, qpd6)(
-                            top, left, flags, orig)
-                        rates2 = rates3 = None
-                with timer.phase("writeback"):
-                    if node_rates:
-                        h2, h3, hs1, hs4 = _get((rates2, rates3, s1, s4), verify)
-                        res_rates2[:] = h2.reshape(-1)
-                        res_rates3[:] = h3.reshape(-1)
-                    else:
-                        res_rates2[:] = -1
-                        res_rates3[:] = -1
-                        hs1, hs4 = _get((s1, s4), verify)
-                    res_sse[:] = hs1.reshape(-1)
-                    res_sse4[:] = hs4.reshape(-1)
-                pend = dict(q1=q1, r1=r1, q4=q4, r4=r4)
-            elif kind == KIND_PU:
-                # PU rates are always fused (device oracle); phase A likewise
-                with timer.phase("device_math_pu"):
-                    q1, r1, s1, rates = _jit_pu_step(qpd6, mesh)(
-                        top, left, flags, orig)
-                with timer.phase("writeback"):
-                    hs1, hr = _get((s1, rates), verify)
-                    res_sse[:] = hs1.reshape(-1)
-                    res_rates[:] = hr.reshape(-1)
-                pend = dict(q1=q1, r1=r1)
-            elif kind == KIND_NODE_FETCH:
-                sel = req_fetch.copy()
-                with timer.phase("winner_fetch"):
-                    if (sel == -1).any():
-                        # host trials needed somewhere: materialize everything
-                        hq1, hr1, hq4, hr4 = _get(
-                            (pend["q1"], pend["r1"], pend["q4"], pend["r4"]),
-                            verify)
-                        res_quant[:B * MODES * nn] = hq1.reshape(-1)
-                        res_recon[:B * MODES * nn] = hr1.astype(np.uint8).reshape(-1)
-                        res_quant4[:B * MODES * nn] = hq4.reshape(-1)
-                        res_recon4[:B * MODES * nn] = hr4.astype(np.uint8).reshape(-1)
-                    elif (sel >= 0).any():
-                        wq, wr = _jit_gather_node(sz)(
-                            pend["q1"], pend["r1"], pend["q4"], pend["r4"], sel)
-                        wq, wr = _get((wq, wr), verify)
-                        for i in np.nonzero(sel >= 0)[0]:
-                            layout, pm = divmod(int(sel[i]), MODES)
-                            off = (i * MODES + pm) * nn
-                            if layout == 0:
-                                res_quant[off:off + nn] = wq[i]
-                                res_recon[off:off + nn] = wr[i]
-                            else:
-                                res_quant4[off:off + nn] = wq[i]
-                                res_recon4[off:off + nn] = wr[i]
-                pend = {}
-            else:  # KIND_PU_FETCH
-                sel = req_fetch.copy()
-                with timer.phase("winner_fetch"):
-                    if (sel == -1).any():
-                        hq1, hr1 = _get((pend["q1"], pend["r1"]), verify)
-                        res_quant[:B * MODES * 16] = hq1.reshape(-1)
-                        res_recon[:B * MODES * 16] = hr1.astype(np.uint8).reshape(-1)
-                    elif (sel >= 0).any():
-                        wq, wr = _jit_gather_pu()(pend["q1"], pend["r1"], sel)
-                        wq, wr = _get((wq, wr), verify)
-                        for i in np.nonzero(sel >= 0)[0]:
-                            off = (i * MODES + int(sel[i])) * 16
-                            res_quant[off:off + 16] = wq[i]
-                            res_recon[off:off + 16] = wr[i]
-                pend = {}
-            lib.hevce_batch_supply(handle)
+        if halves is None:
+            runs = [_Run(lib, images, qpd6, node_rates, mesh, verify, timer)]
+        else:
+            runs = [_Run(lib, h, qpd6, node_rates, mesh, verify, timer,
+                         tag=f"half{i}") for i, h in enumerate(halves)]
+
+        # prime: every run dispatches its first event before any completes
+        for r in runs:
+            if r.next() != KIND_DONE:
+                r.dispatch()
+        # interleave: complete+resupply one run (its workers then arbitrate
+        # concurrently) while the other run's device step is in flight
+        while not all(r.done for r in runs):
+            for r in runs:
+                if r.done:
+                    continue
+                r.complete()
+                if r.next() != KIND_DONE:
+                    r.dispatch()
 
         with timer.phase("finish"):
             streams, rcons = [], []
-            for s in range(B):
-                n = lib.hevce_batch_stream(handle, s, None)
-                buf = np.empty(n, np.uint8)
-                lib.hevce_batch_stream(
-                    handle, s, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-                streams.append(bytes(buf))
-                rc = np.empty((yp, xp), np.uint8)
-                lib.hevce_batch_rcon(
-                    handle, s, rc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-                rcons.append(rc)
+            for r in runs:
+                s, rc = r.collect()
+                streams += s
+                rcons += rc
         ok = True
         if trace_env:
             import sys
             print("lockstep phase breakdown:\n" + timer.report(), file=sys.stderr)
         return streams, rcons
     finally:
-        if not ok:
-            # free-run blocked workers so destroy() can join; their output
-            # is discarded with the exception
-            lib.hevce_batch_abort(handle)
-        lib.hevce_batch_destroy(handle)
+        for r in runs:
+            r.destroy(ok)
