@@ -1640,6 +1640,101 @@ static i64 encode(const u8* img, i32* ysz, i32* xsz, i32 qpd6, u8* stream, u8* r
 }
 
 // ---------------------------------------------------------------------------
+// Wavefront fast-mode packer: emit an exact, standard-compliant stream for a
+// PRE-DECIDED CU forest (decisions from the device-side greedy wavefront
+// search, hevce_tpu/models/wavefront.py). The entropy path here is the same
+// exact CABAC machinery the bit-exact encoder uses; only the DECISIONS differ
+// from the reference RDO (a documented non-bit-exact serving mode — the
+// bit-exact path stays the default everywhere).
+//
+// Per-CTU record, z-order node indexing: 8x8 leaves idx = q*4 + l (q = the
+// 16-quad z index, l = leaf z index within it), 16-nodes idx 16+q, the 32
+// root idx 20. lay[node]: 0 = split (16/32 nodes only), 1 = 2Nx2N single TU,
+// 2 = 2Nx2N TU-split (quant holds the 4 sub-TUs concatenated, z order).
+struct PackRec {
+    const i32* lay;   // 21
+    const i32* pm;    // 21
+    const i32* q8;    // 16 x 64
+    const i32* q16;   // 4 x 256
+    const i32* q32;   // 1024
+};
+
+static void pack_cu(EncState& st, const PackRec& rec, i32 y, i32 x, i32 sz, int node) {
+    const i32 mr = st.mrow(y), mc = 1 + x / 4;
+    const bool gl = sz > st.mcu(mr, mc - 1);
+    const bool ga = sz > st.mcu(mr - 1, mc);
+    const i32 pml = st.mpm(mr, mc - 1);
+    const i32 pma = st.mpm(mr - 1, mc);
+    if (sz > MIN_CU && rec.lay[node] == 0) {
+        put_split_cu(st.enc, st.ctxs, sz, 1, gl, ga);
+        i32 h = sz / 2;
+        for (int i = 0; i < 4; i++) {
+            int child = (sz == CTU) ? 16 + i : (node - 16) * 4 + i;
+            pack_cu(st, rec, y + kSubOff[i][0] * h, x + kSubOff[i][1] * h, h, child);
+        }
+        return;
+    }
+    const i32 pm = rec.pm[node];
+    const i32* qb = sz == CTU ? rec.q32
+                    : sz == 16 ? rec.q16 + (size_t)(node - 16) * 256
+                               : rec.q8 + (size_t)node * 64;
+    put_split_cu(st.enc, st.ctxs, sz, 0, gl, ga);
+    if (rec.lay[node] == 1) {
+        put_cu_2nx2n(st.enc, st.ctxs, sz, pm, pml, pma, qb);
+    } else {
+        const i32 hh = (sz / 2) * (sz / 2);
+        const i32* subs[4] = {qb, qb + hh, qb + 2 * hh, qb + 3 * hh};
+        put_cu_tusplit(st.enc, st.ctxs, sz, pm, pml, pma, subs);
+    }
+    const i32 ntu = sz / 4;
+    for (i32 r = 0; r < ntu; r++) {
+        std::memset(&st.mcu(mr + r, mc), sz, ntu);
+        std::memset(&st.mpm(mr + r, mc), pm, ntu);
+    }
+}
+
+static i64 pack_stream(const i32* lay, const i32* pm, const i32* q8,
+                       const i32* q16, const i32* q32,
+                       i32 ysz, i32 xsz, i32 qpd6, u8* stream, i64 cap) {
+    EncState st;
+    st.qpd6 = qpd6;
+    st.ysz0 = ysz;
+    st.xsz0 = xsz;
+    st.yszn = (ysz + CTU - 1) / CTU * CTU;
+    st.xszn = (xsz + CTU - 1) / CTU * CTU;
+    st.img = nullptr;
+    st.map_w = 1 + st.xszn / 4;
+    st.map_cu_sz.assign((size_t)9 * st.map_w, CTU);
+    st.map_pmode.assign((size_t)9 * st.map_w, 1);  // DC
+    st.ctxs.init(qpd6);
+    st.arena.reserve(1 << 20);
+    st.enc.arena = &st.arena;
+
+    std::vector<u8> out;
+    write_headers(out, qpd6, st.yszn, st.xszn);
+    const i32 R = st.yszn / CTU, Cc = st.xszn / CTU;
+    for (i32 r = 0; r < R; r++) {
+        st.ctu_y = r * CTU;
+        for (i32 c = 0; c < Cc; c++) {
+            const size_t k = (size_t)r * Cc + c;
+            PackRec rec{lay + k * 21, pm + k * 21, q8 + k * 16 * 64,
+                        q16 + k * 4 * 256, q32 + k * 1024};
+            pack_cu(st, rec, r * CTU, c * CTU, CTU, 20);
+            st.enc.terminate(r == R - 1 && c == Cc - 1);
+            out.insert(out.end(), st.arena.begin(), st.arena.end());
+            st.arena.clear();
+        }
+        // scroll cu-size line buffer only (above-CTU pmode stays DC)
+        std::memcpy(&st.mcu(0, 1), &st.mcu(8, 1), st.map_w - 1);
+    }
+    st.enc.finish();
+    out.insert(out.end(), st.arena.begin(), st.arena.end());
+    if (cap && (i64)out.size() > cap) return -2;
+    std::memcpy(stream, out.data(), out.size());
+    return (i64)out.size();
+}
+
+// ---------------------------------------------------------------------------
 // lockstep batch engine: B same-sized images encoded by B worker threads whose
 // math requests rendezvous into one device batch per schedule event. The CU
 // search schedule is content-independent (SURVEY.md §3: the same 21-node tree
@@ -2512,7 +2607,18 @@ long long hevce_stream_capacity(int ysz, int xsz) {
     return (long long)hevce::stream_capacity(yp, xp);
 }
 
-int hevce_version() { return 12; }
+int hevce_version() { return 13; }
+
+// pack a pre-decided CU forest (wavefront fast mode) into a compliant stream;
+// record layout documented at hevce::PackRec. Returns stream bytes or -2 if
+// cap is too small.
+long long hevce_pack(const int* lay, const int* pm, const int* q8,
+                     const int* q16, const int* q32, int ysz, int xsz,
+                     int qpd6, uint8_t* stream_out, long long cap) {
+    if (qpd6 < 0 || qpd6 > 4 || ysz <= 0 || xsz <= 0) return -1;
+    return hevce::pack_stream(lay, pm, q8, q16, q32, ysz, xsz, qpd6,
+                              stream_out, cap);
+}
 
 // --- lockstep batch API -----------------------------------------------------
 

@@ -10,6 +10,10 @@ remaining argument is the input, second the output stream, third the optional
 reconstructed-image output. Any PIL-readable input is accepted (converted to
 grayscale); the reference accepts only P5 PGM.
 
+--fast selects the wavefront device mode (models/wavefront.py): a compliant
+HEVC stream from greedy on-device decisions — NOT bit-identical to the
+reference RDO output, which the default engines produce.
+
 Prints the same result block (ratio / bpp / MSE / PSNR, src/HEVCeMain.c:204-211)
 plus throughput.
 """
@@ -31,6 +35,9 @@ def main(argv=None):
             engine = "python"
         elif a == "--engine=native":
             engine = "native"
+        elif a in ("--fast", "--engine=fast"):
+            engine = "fast"   # wavefront device mode: compliant stream,
+            #                   NOT bit-identical to the reference RDO
         else:
             rest.append(a)
     if not 1 <= len(rest) <= 3:
@@ -56,6 +63,9 @@ def main(argv=None):
     if engine == "python":
         from hevce_tpu.models.encoder import encode_image
         stream, rcon = encode_image(img, qpd6)
+    elif engine == "fast":
+        from hevce_tpu.models.wavefront import encode_image_fast
+        stream, rcon = encode_image_fast(img, qpd6)
     else:
         from hevce_tpu.runtime.native import encode_image_native
         stream, rcon = encode_image_native(img, qpd6)

