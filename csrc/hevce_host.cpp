@@ -1075,40 +1075,53 @@ static void sub_flags(bool bll, bool blb, bool baa, bool bar, bool out[4][4]) {
     std::memcpy(out, f, sizeof f);
 }
 
-// single-mode candidate pipeline; returns SSE
-static i32 candidate(i32 qpd6, i32 sz, const Borders& B, i32 pmode, const u8* orig,
-                     i32 orig_stride, i32* quant_out, u8* recon_out) {
-    u8 pred[CTU * CTU];
-    i32 resid[CTU * CTU], coef[CTU * CTU], dq[CTU * CTU], inv[CTU * CTU];
+// single-mode candidate pipeline; returns SSE. Templated on the block size
+// so the residual/recon/SSE loops have constexpr trip counts (they fully
+// vectorize; this path is the single hottest function in the encode).
+// orig is a compact sz-stride block (all callers repack).
+template <int N>
+static i32 candidate_t(i32 qpd6, const Borders& B, i32 pmode, const u8* orig,
+                       i32* quant_out, u8* recon_out) {
+    constexpr i32 sz = N, nn = N * N;
+    u8 pred[nn];
+    i32 resid[nn], coef[nn], dq[nn], inv[nn];
     predict(sz, pmode, B, pred);
-    for (i32 i = 0; i < sz; i++)
-        for (i32 j = 0; j < sz; j++)
-            resid[i * sz + j] = (i32)orig[i * orig_stride + j] - pred[i * sz + j];
-    forward_transform(sz, resid, coef);
-    quantize(qpd6, sz, coef, quant_out);
-    if (!block_nonzero(quant_out, sz * sz)) {
+    for (i32 i = 0; i < nn; i++) resid[i] = (i32)orig[i] - pred[i];
+    fwd_xform<N>(resid, coef);
+    quantize_t<N>(qpd6, coef, quant_out);
+    if (!block_nonzero(quant_out, nn)) {
         // all-zero levels: dequant/inverse are exactly zero (rounding adds
         // shift out), so recon == pred — skip both matmul stages
         i32 sse = 0;
-        for (i32 i = 0; i < sz; i++)
-            for (i32 j = 0; j < sz; j++) {
-                recon_out[i * sz + j] = pred[i * sz + j];
-                i32 d = (i32)orig[i * orig_stride + j] - pred[i * sz + j];
-                sse += d * d;
-            }
-        return sse;
-    }
-    dequantize(qpd6, sz, quant_out, dq);
-    inverse_transform(sz, dq, inv);
-    i32 sse = 0;
-    for (i32 i = 0; i < sz; i++)
-        for (i32 j = 0; j < sz; j++) {
-            u8 r = pixclip(inv[i * sz + j] + pred[i * sz + j]);
-            recon_out[i * sz + j] = r;
-            i32 d = (i32)orig[i * orig_stride + j] - r;
+        for (i32 i = 0; i < nn; i++) {
+            recon_out[i] = pred[i];
+            i32 d = (i32)orig[i] - pred[i];
             sse += d * d;
         }
+        return sse;
+    }
+    constexpr i32 dqsft = (N == 4 ? 5 : N == 8 ? 4 : N == 16 ? 3 : 2);
+    for (i32 i = 0; i < nn; i++) dq[i] = coefclip(quant_out[i] << (dqsft + qpd6));
+    inv_xform<N>(dq, inv);
+    i32 sse = 0;
+    for (i32 i = 0; i < nn; i++) {
+        u8 r = pixclip(inv[i] + pred[i]);
+        recon_out[i] = r;
+        i32 d = (i32)orig[i] - r;
+        sse += d * d;
+    }
     return sse;
+}
+
+static i32 candidate(i32 qpd6, i32 sz, const Borders& B, i32 pmode, const u8* orig,
+                     i32 orig_stride, i32* quant_out, u8* recon_out) {
+    (void)orig_stride;  // all callers pass compact blocks (stride == sz)
+    switch (sz) {
+        case 4: return candidate_t<4>(qpd6, B, pmode, orig, quant_out, recon_out);
+        case 8: return candidate_t<8>(qpd6, B, pmode, orig, quant_out, recon_out);
+        case 16: return candidate_t<16>(qpd6, B, pmode, orig, quant_out, recon_out);
+        default: return candidate_t<32>(qpd6, B, pmode, orig, quant_out, recon_out);
+    }
 }
 
 // host math engine: fills NodeMath for one node (the TPU device engine fills
@@ -1357,7 +1370,18 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
             const i32* rates = (step == 2) ? M.rates2 : M.rates3;
             i64 budget = bit_budget(sse, best);
             if (budget < 0) continue;                      // provably loses
-            i32 bits = (rates && rates[pm] >= 0) ? rates[pm]
+            const bool dev_rate = rates && rates[pm] >= 0;
+            if (!dev_rate) {
+                // bypass-bit floor over the candidate's quant block(s): the
+                // trial's bits are >= this for ANY live coder state (sign +
+                // escape bins are bypass = exactly 1 bit each; context bins
+                // >= 0), so floor > budget proves cost > best — skip the
+                // whole trial encode. quant4's 4 sub-TUs are contiguous.
+                const i32* qb = (step == 2) ? M.quant + pm * nn
+                                            : M.quant4 + (size_t)pm * 4 * hh;
+                if (rate_floor(qb, nn) > budget) continue;
+            }
+            i32 bits = dev_rate ? rates[pm]
                        : (step == 2 ? host_trial2(pm, budget)
                                     : host_trial3(pm, budget));
             if (bits == I32_MAX) continue;                 // over budget: loses
