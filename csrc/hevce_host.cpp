@@ -1675,12 +1675,16 @@ static i64 encode(const u8* img, i32* ysz, i32* xsz, i32 qpd6, u8* stream, u8* r
 // 16-quad z index, l = leaf z index within it), 16-nodes idx 16+q, the 32
 // root idx 20. lay[node]: 0 = split (16/32 nodes only), 1 = 2Nx2N single TU,
 // 2 = 2Nx2N TU-split (quant holds the 4 sub-TUs concatenated, z order).
+// qc is the CTU's quant levels COMPOSED over the chosen forest in z-order
+// leaf concatenation (1024 entries): a 32-leaf occupies [0,1024); 16-quadrant
+// qi occupies [qi*256, qi*256+256); 8-leaf (qi,li) occupies [qi*256+li*64,
+// +64). The leaves partition the CTU, so the composed form is 3x smaller
+// than shipping every node's winner — it is what the device fast path
+// transfers (models/wavefront.py composes it on device before fetch).
 struct PackRec {
     const i32* lay;   // 21
     const i32* pm;    // 21
-    const i32* q8;    // 16 x 64
-    const i32* q16;   // 4 x 256
-    const i32* q32;   // 1024
+    const i32* qc;    // 1024 composed
 };
 
 static void pack_cu(EncState& st, const PackRec& rec, i32 y, i32 x, i32 sz, int node) {
@@ -1699,9 +1703,10 @@ static void pack_cu(EncState& st, const PackRec& rec, i32 y, i32 x, i32 sz, int 
         return;
     }
     const i32 pm = rec.pm[node];
-    const i32* qb = sz == CTU ? rec.q32
-                    : sz == 16 ? rec.q16 + (size_t)(node - 16) * 256
-                               : rec.q8 + (size_t)node * 64;
+    const i32* qb = rec.qc + (sz == CTU ? 0
+                              : sz == 16 ? (size_t)(node - 16) * 256
+                                         : (size_t)(node >> 2) * 256
+                                               + (size_t)(node & 3) * 64);
     put_split_cu(st.enc, st.ctxs, sz, 0, gl, ga);
     if (rec.lay[node] == 1) {
         put_cu_2nx2n(st.enc, st.ctxs, sz, pm, pml, pma, qb);
@@ -1717,8 +1722,7 @@ static void pack_cu(EncState& st, const PackRec& rec, i32 y, i32 x, i32 sz, int 
     }
 }
 
-static i64 pack_stream(const i32* lay, const i32* pm, const i32* q8,
-                       const i32* q16, const i32* q32,
+static i64 pack_stream(const i32* lay, const i32* pm, const i32* qc,
                        i32 ysz, i32 xsz, i32 qpd6, u8* stream, i64 cap) {
     EncState st;
     st.qpd6 = qpd6;
@@ -1741,8 +1745,7 @@ static i64 pack_stream(const i32* lay, const i32* pm, const i32* q8,
         st.ctu_y = r * CTU;
         for (i32 c = 0; c < Cc; c++) {
             const size_t k = (size_t)r * Cc + c;
-            PackRec rec{lay + k * 21, pm + k * 21, q8 + k * 16 * 64,
-                        q16 + k * 4 * 256, q32 + k * 1024};
+            PackRec rec{lay + k * 21, pm + k * 21, qc + k * 1024};
             pack_cu(st, rec, r * CTU, c * CTU, CTU, 20);
             st.enc.terminate(r == R - 1 && c == Cc - 1);
             out.insert(out.end(), st.arena.begin(), st.arena.end());
@@ -2636,12 +2639,11 @@ int hevce_version() { return 13; }
 // pack a pre-decided CU forest (wavefront fast mode) into a compliant stream;
 // record layout documented at hevce::PackRec. Returns stream bytes or -2 if
 // cap is too small.
-long long hevce_pack(const int* lay, const int* pm, const int* q8,
-                     const int* q16, const int* q32, int ysz, int xsz,
-                     int qpd6, uint8_t* stream_out, long long cap) {
+long long hevce_pack(const int* lay, const int* pm, const int* qc,
+                     int ysz, int xsz, int qpd6, uint8_t* stream_out,
+                     long long cap) {
     if (qpd6 < 0 || qpd6 > 4 || ysz <= 0 || xsz <= 0) return -1;
-    return hevce::pack_stream(lay, pm, q8, q16, q32, ysz, xsz, qpd6,
-                              stream_out, cap);
+    return hevce::pack_stream(lay, pm, qc, ysz, xsz, qpd6, stream_out, cap);
 }
 
 // --- lockstep batch API -----------------------------------------------------

@@ -25,9 +25,11 @@ The bit-exact reference-identical path remains the default everywhere; this
 mode trades reference-identical bytes for device-speed encoding.
 
 Storage is SKEWED at CTU granularity so every front is a static-shape column:
-tile (r, c) lives at column 2*r + c; fronts are lax.dynamic_slice columns and
-the whole per-front search is one jitted step (no gathers — this backend
-compiles dynamic gathers pathologically, CLAUDE.md).
+tile (r, c) lives at front column 2*r + c. The whole slice is ONE jitted
+lax.scan over front-major columns with a 3-column recon-window carry (see
+_make_front_core) — no gathers (this backend compiles dynamic gathers
+pathologically, CLAUDE.md) and no per-front dynamic slicing of the big
+skewed arrays (measured to dominate the step cost on v5e).
 """
 import ctypes
 import functools
@@ -147,40 +149,43 @@ def _eval_node(qpd6, canvas, ctop, cleft, orig, fl, y0, x0, sz):
     return cost, lay, pm, quant, recon.reshape(B, sz, sz)
 
 
-def _make_front_step(qpd6: int, R: int):
-    """Build the jitted per-front step for an R-row CTU grid.
+def _make_front_core(qpd6: int, R: int):
+    """Build the (unjitted) per-front core for an R-row CTU grid.
 
-    Signature: (S, O, recs..., d, C) -> (S, recs...) where
-      S (B, R, D, 32, 32) i32 skewed recon tiles, O same-shape original tiles,
-      lay/pm (B, R, D, 21) i32, q8 (B, R, D, 16*64), q16 (B, R, D, 4*256),
-      q32 (B, R, D, 1024), d = front index scalar, C = CTU columns scalar.
-    One compile per (qpd6, R, D, B) shape set; d and C are traced scalars.
+    Signature: (W, o_col, d, C) -> (S_col, lay_col, pm_col, qc_col) where
+      W (B, R, 3, 32, 32) i32 = the previous THREE committed front columns
+      (W[..., 0] is front d-3, 1 is d-2, 2 is d-1 — all the recon context a
+      front needs: left = same row col d-1, above = row-1 col d-2,
+      above-right = row-1 col d-1, above-left = row-1 col d-3),
+      o_col (B, R, 32, 32) uint8 original tiles of front d,
+      d / C traced scalars (front index, CTU columns).
+    Returns the committed recon column (B, R, 32, 32) i32 plus the decision
+    and composed-quant columns.
+
+    This rolling-window form exists for performance: carrying whole skewed
+    (B, R, D, ...) arrays and dynamic-slicing the d column made XLA spend
+    ~80% of each front step on strided DMA (measured 157 ms/front on v5e,
+    ~124 ms of slice/copy traffic). A lax.scan over front-major inputs with
+    a 3-column carry keeps every access static and lets scan stack outputs
+    on the (cheap) leading axis.
     """
-    import jax
     import jax.numpy as jnp
-    from jax import lax
-
-    def col(a, j):
-        """a[:, :, clamp(j)] via dynamic_slice (j may be negative: clamped;
-        such reads are always masked by flags)."""
-        j = jnp.clip(j, 0, a.shape[2] - 1)
-        return lax.dynamic_slice_in_dim(a, j, 1, axis=2)[:, :, 0]
 
     def shift_down(t):
         """tile row r -> r-1 view: out[:, r] = t[:, r-1] (row 0 zero)."""
         return jnp.pad(t, ((0, 0), (1, 0)) + ((0, 0),) * (t.ndim - 2))[:, :-1]
 
-    def step(S, O, lay, pm, q8, q16, q32, d, C):
-        Bb = S.shape[0]
+    def core(W, o_col, d, C):
+        Bb = W.shape[0]
         rr = jnp.arange(R, dtype=jnp.int32)             # CTU row per lane
         cc = d - 2 * rr                                  # CTU col per lane
         valid = (cc >= 0) & (cc < C)                     # (R,)
 
-        left_t = col(S, d - 1)                           # (B, R, 32, 32)
-        above_t = shift_down(col(S, d - 2))
-        abr_t = shift_down(col(S, d - 1))
-        abl_t = shift_down(col(S, d - 3))
-        orig_t = col(O, d)
+        left_t = W[:, :, 2]                              # (B, R, 32, 32)
+        above_t = shift_down(W[:, :, 1])
+        abr_t = shift_down(W[:, :, 2])
+        abl_t = shift_down(W[:, :, 0])
+        orig_t = o_col
 
         # CTU-level border context with clamped-plane semantics
         corner = jnp.where((cc > 0)[None, :], abl_t[:, :, CTU - 1, CTU - 1],
@@ -198,7 +203,7 @@ def _make_front_step(qpd6: int, R: int):
         BR = Bb * R
         ctop = ctop.reshape(BR, 1 + 2 * CTU)
         cleft = cleft.reshape(BR, 2 * CTU)
-        orig = orig_t.reshape(BR, CTU, CTU)
+        orig = orig_t.reshape(BR, CTU, CTU).astype(jnp.int32)  # O is uint8
         bll = jnp.tile(cc > 0, Bb)
         blb = jnp.zeros_like(bll)
         baa = jnp.tile(rr > 0, Bb)
@@ -255,52 +260,90 @@ def _make_front_step(qpd6: int, R: int):
         n_q32 = qb
         canvas = jnp.where(own_wins[:, None, None], rc, canvas)
 
-        # commit the front column (masked by row validity)
-        vm = jnp.tile(valid, Bb)
+        # compose the chosen forest's quant leaves (static-layout selects,
+        # z-order layout pack_cu expects — csrc PackRec): leaves partition
+        # the CTU, so this is all the pack needs, 1/6 of the raw winner data
+        q8cat = jnp.concatenate(n_q8, -1)                # (BR, 16*64), (qi,li)
+        q16cat = jnp.concatenate(n_q16, -1)              # (BR, 4*256)
+        own16 = jnp.stack([n_lay[16 + qi] != 0 for qi in range(4)], -1)
+        qc = jnp.where(own16[:, :, None],
+                       q16cat.reshape(BR, 4, 256),
+                       q8cat.reshape(BR, 4, 256)).reshape(BR, 1024)
+        qc = jnp.where((n_lay[20] != 0)[:, None], n_q32, qc)
 
-        def upd(dst, new, j):
-            j = jnp.clip(j, 0, dst.shape[2] - 1)
-            cur = lax.dynamic_slice_in_dim(dst, j, 1, axis=2)[:, :, 0]
-            mask = vm.reshape(Bb, R).reshape((Bb, R) + (1,) * (new.ndim - 2))
-            new = jnp.where(mask, new, cur)
-            return lax.dynamic_update_slice_in_dim(
-                dst, new[:, :, None], j, axis=2)
+        # commit the front column (masked by row validity; invalid lanes
+        # stay zero, matching the zero-initialised window/outputs)
+        def msk(a):
+            vm = valid[None, :].reshape((1, R) + (1,) * (a.ndim - 2))
+            return jnp.where(vm, a, 0)
 
-        S = upd(S, canvas.reshape(Bb, R, CTU, CTU), d)
-        lay = upd(lay, jnp.stack(n_lay, -1).reshape(Bb, R, 21), d)
-        pm = upd(pm, jnp.stack(n_pm, -1).reshape(Bb, R, 21), d)
-        q8 = upd(q8, jnp.concatenate(n_q8, -1).reshape(Bb, R, 16 * 64), d)
-        q16 = upd(q16, jnp.concatenate(n_q16, -1).reshape(Bb, R, 4 * 256), d)
-        q32 = upd(q32, n_q32.reshape(Bb, R, 1024), d)
-        return S, lay, pm, q8, q16, q32
+        S_col = msk(canvas.reshape(Bb, R, CTU, CTU))
+        lay_col = msk(jnp.stack(n_lay, -1).reshape(Bb, R, 21))
+        pm_col = msk(jnp.stack(n_pm, -1).reshape(Bb, R, 21))
+        qc_col = msk(qc.reshape(Bb, R, 1024))
+        return S_col, lay_col, pm_col, qc_col
 
-    return jax.jit(step, donate_argnums=(0, 2, 3, 4, 5, 6))
+    return core
 
 
 @functools.lru_cache(maxsize=None)
-def _front_step_cache(qpd6: int, R: int):
-    return _make_front_step(qpd6, R)
+def _slice_runner_cache(qpd6: int, R: int, D: int):
+    """Whole-slice runner: lax.scan over front-major original columns with a
+    3-column recon window carry (see _make_front_core for why), ONE jitted
+    dispatch per slice. Outputs are shrunk on device before fetch — the
+    result transfer is a major cost on a tunneled device: recon fits uint8,
+    decisions int8, composed quant leaves int16 (coefclip is +-32767; the
+    composed form is 1/6 of shipping every node's winner).
+
+    Signature: (O (D, B, R, 32, 32) uint8, C scalar) ->
+      (S (D, B, R, 32, 32) u8, lay/pm (D, B, R, 21) i8, qc (D, B, R, 1024) i16)
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    core = _make_front_core(qpd6, R)
+
+    def run(O, C):
+        B = O.shape[1]
+        W0 = jnp.zeros((B, R, 3, CTU, CTU), jnp.int32)
+
+        def body(carry, o_col):
+            W, d = carry
+            S_col, lay_col, pm_col, qc_col = core(W, o_col, d, C)
+            W = jnp.concatenate([W[:, :, 1:], S_col[:, :, None]], axis=2)
+            return (W, d + 1), (S_col.astype(jnp.uint8),
+                                lay_col.astype(jnp.int8),
+                                pm_col.astype(jnp.int8),
+                                qc_col.astype(jnp.int16))
+
+        _, ys = lax.scan(body, (W0, jnp.int32(0)), O)
+        return ys
+
+    return jax.jit(run)
 
 
 def _orig_tiles_skewed(imgs, yp, xp):
-    """(B, R, D, 32, 32) int32 original tiles in skewed layout, edge-replicated
-    from the UNPADDED dims (reference src/HEVCe.c:1620-1622)."""
+    """(D, B, R, 32, 32) uint8 original tiles in FRONT-MAJOR skewed layout
+    (tile (r, c) at front 2r + c), edge-replicated from the UNPADDED dims
+    (reference src/HEVCe.c:1620-1622). Front-major is the lax.scan xs order;
+    uint8 keeps the host->device upload small (the core widens per column)."""
     B = len(imgs)
     ysz, xsz = imgs[0].shape
     R, Cc = yp // CTU, xp // CTU
     D = 2 * (R - 1) + Cc
     yy = np.clip(np.arange(yp), 0, ysz - 1)
     xx = np.clip(np.arange(xp), 0, xsz - 1)
-    O = np.zeros((B, R, D, CTU, CTU), np.int32)
+    O = np.zeros((D, B, R, CTU, CTU), np.uint8)
     for b, im in enumerate(imgs):
-        plane = im[np.ix_(yy, xx)].astype(np.int32)
+        plane = im[np.ix_(yy, xx)]
         t = plane.reshape(R, CTU, Cc, CTU).transpose(0, 2, 1, 3)
         for r in range(R):
-            O[b, r, 2 * r:2 * r + Cc] = t[r]
+            O[2 * r:2 * r + Cc, b, r] = t[r]
     return O
 
 
-def encode_batch_fast(images, qpd6: int):
+def encode_batch_fast(images, qpd6: int, timer=None):
     """Wavefront fast mode: encode B same-shaped uint8 grayscale images.
 
     Returns (streams, recons) like lockstep.encode_batch. Streams are
@@ -310,8 +353,15 @@ def encode_batch_fast(images, qpd6: int):
     and the NxN partition of 8x8 CUs is not searched. The returned recon is
     exactly what a decoder reconstructs (verified in tests against the
     independent decoder).
+
+    timer: optional utils.tracing.PhaseTimer — accumulates device_fronts /
+    fetch / pack phases (same reporting surface as lockstep.encode_batch).
     """
     import jax.numpy as jnp
+
+    if timer is None:
+        from hevce_tpu.utils.tracing import PhaseTimer
+        timer = PhaseTimer()
 
     images = [native._clip_dims(im) for im in images]
     shape = images[0].shape
@@ -323,50 +373,45 @@ def encode_batch_fast(images, qpd6: int):
     D = 2 * (R - 1) + Cc
 
     O = jnp.asarray(_orig_tiles_skewed(images, yp, xp))
-    S = jnp.zeros((B, R, D, CTU, CTU), jnp.int32)
-    lay = jnp.zeros((B, R, D, 21), jnp.int32)
-    pm = jnp.zeros((B, R, D, 21), jnp.int32)
-    q8 = jnp.zeros((B, R, D, 16 * 64), jnp.int32)
-    q16 = jnp.zeros((B, R, D, 4 * 256), jnp.int32)
-    q32 = jnp.zeros((B, R, D, 1024), jnp.int32)
 
-    step = _front_step_cache(qpd6, R)
-    C_s = jnp.int32(Cc)
-    for d in range(D):
-        S, lay, pm, q8, q16, q32 = step(S, O, lay, pm, q8, q16, q32,
-                                        jnp.int32(d), C_s)
+    run = _slice_runner_cache(qpd6, R, D)
+    with timer.phase("device_fronts"):
+        out = run(O, jnp.int32(Cc))
+        out[0].block_until_ready()
 
-    # single fetch of decisions + recon
-    h = [np.asarray(a) for a in (S, lay, pm, q8, q16, q32)]
-    hS, hlay, hpm, hq8, hq16, hq32 = h
+    # single fetch of decisions + recon (device-shrunk dtypes + composed quant)
+    with timer.phase("fetch"):
+        h = [np.asarray(a) for a in out]
+    hS, hlay, hpm, hqc = h
 
-    # unskew to raster CTU order
+    # unskew to raster CTU order (arrays are front-major: a[d, b, r])
     def unskew(a, b):
-        return np.stack([a[b, r, 2 * r:2 * r + Cc] for r in range(R)])
+        return np.stack([a[2 * r:2 * r + Cc, b, r] for r in range(R)])
 
     lib = native._load()
     lib.hevce_pack.restype = ctypes.c_longlong
-    lib.hevce_pack.argtypes = [ctypes.POINTER(ctypes.c_int32)] * 5 + [
+    lib.hevce_pack.argtypes = [ctypes.POINTER(ctypes.c_int32)] * 3 + [
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong]
     cap = int(lib.hevce_stream_capacity(ysz, xsz))
     streams, recons = [], []
-    for b in range(B):
-        args = []
-        for a in (hlay, hpm, hq8, hq16, hq32):
-            flat = np.ascontiguousarray(unskew(a, b), np.int32).reshape(-1)
-            args.append(flat)
-        buf = np.empty(cap, np.uint8)
-        n = lib.hevce_pack(
-            *(a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in args),
-            ysz, xsz, qpd6,
-            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.c_longlong(cap))
-        assert n > 0, f"pack failed: {n}"
-        streams.append(bytes(buf[:n]))
-        tiles = unskew(hS, b)                        # (R, Cc, 32, 32)
-        recons.append(tiles.transpose(0, 2, 1, 3)
-                      .reshape(yp, xp).astype(np.uint8))
+    with timer.phase("pack"):
+        for b in range(B):
+            args = []
+            for a in (hlay, hpm, hqc):
+                flat = np.ascontiguousarray(unskew(a, b), np.int32).reshape(-1)
+                args.append(flat)
+            buf = np.empty(cap, np.uint8)
+            n = lib.hevce_pack(
+                *(a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in args),
+                ysz, xsz, qpd6,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_longlong(cap))
+            assert n > 0, f"pack failed: {n}"
+            streams.append(bytes(buf[:n]))
+            tiles = unskew(hS, b)                    # (R, Cc, 32, 32)
+            recons.append(tiles.transpose(0, 2, 1, 3)
+                          .reshape(yp, xp).astype(np.uint8))
     return streams, recons
 
 

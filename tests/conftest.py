@@ -12,6 +12,13 @@ import jax
 jax.config.update("jax_platforms", "cpu")  # env alone is overridden by the
 # axon plugin in this environment; force the 8-virtual-device CPU backend.
 
+# persistent compile cache: the suite re-jits the same step programs every
+# run; caching them cuts repeat suite time substantially
+_cache = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jaxcache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pathlib
 
 import numpy as np
