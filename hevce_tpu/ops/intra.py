@@ -3,12 +3,16 @@
 Reference semantics: getBorder / predict at reference src/HEVCe.c:196-381.
 
 TPU-native formulation: the reference builds a per-mode projected reference
-buffer with data-independent index arithmetic (src/HEVCe.c:350-364). Because
-those indices depend only on (size, mode), we precompute static gather tables
-mapping every predicted pixel of every angular mode to two source positions in
-a concatenated border vector S = [ubla | ublb | ubar | fbla | fblb | fbar]
-plus a 5-bit interpolation weight. All 35 modes then evaluate as two gathers
-and a fused multiply-add over a (batch, 35, sz, sz) tensor — no control flow.
+buffer with data-independent index arithmetic (src/HEVCe.c:350-364). Those
+indices depend only on (size, mode), and every angular prediction is TWO
+constant 5-bit-weighted taps of a concatenated border vector
+S = [ubla | ublb | ubar | fbla | fblb | fbar] — i.e. the whole 33-angular-mode
+prediction is one CONSTANT sparse matrix applied to S. We materialise that
+matrix once per size and evaluate all modes as a single bf16 MXU matmul
+(pixels <= 255 and weights <= 32 are exact in bf16; the two-tap products and
+their f32-accumulated sum are < 2^24, so the matmul is bit-exact). The
+earlier two-static-gather formulation lowered to serial kCustom gather
+fusions on TPU and dominated the wavefront front step (~143 of 157 ms).
 Planar / DC / pure-H / pure-V rows (modes 0, 1, 10, 26) are closed-form and
 overwrite their rows, including the sz<=16 luma edge filters
 (src/HEVCe.c:302-340).
@@ -119,6 +123,56 @@ def _angular_tables(sz: int):
 # dense 35-mode prediction
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _angular_matrix(sz: int):
+    """(35, sz*sz, 2+8*sz) float32 constant: out[m, p] = W[m, p] . S, before
+    the shared (+16) >> 5 rounding. The horizontal-mode transpose
+    (src/HEVCe.c:374-377) is baked into the pixel index, and each row has
+    exactly two taps summing to 32. Rows 0/1/10/26 are zero (closed-form)."""
+    idx1, idx2, frac, horiz = _angular_tables(sz)
+    n = 2 + 8 * sz
+    W = np.zeros((35, sz, sz, n), np.float32)
+    for m in range(2, 35):
+        for i in range(sz):
+            f = int(frac[m, i, 0])
+            for j in range(sz):
+                oi, oj = (j, i) if horiz[m] else (i, j)
+                W[m, oi, oj, idx1[m, i, j]] += 32 - f
+                # idx2 can point one past the border segment when f == 0
+                # (angle-32 rows); the tap has zero weight there
+                if f:
+                    W[m, oi, oj, idx2[m, i, j]] += f
+    return W.reshape(35, sz * sz, n)
+
+
+def _angular_mm(sz, S):
+    """All angular modes as ONE bf16 MXU matmul: (..., n) -> (..., 35, sz, sz).
+    Exact: inputs <= 255 and weights <= 32 are bf16-exact, the two products
+    and their f32-accumulated sum stay < 2^24."""
+    from jax import lax
+    W = jnp.asarray(_angular_matrix(sz).reshape(35 * sz * sz, -1), jnp.bfloat16)
+    acc = lax.dot_general(S.astype(jnp.bfloat16), W,
+                          (((S.ndim - 1,), (1,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+    ang = (acc.astype(jnp.int32) + 16) >> 5
+    return ang.reshape(S.shape[:-1] + (35, sz, sz))
+
+
+def _angular_mm_per_lane(sz, S):
+    """Mode-diagonal variant: S (..., 35, n), lane m predicted with mode m
+    only -> (..., 35, sz, sz). One mode-batched MXU matmul."""
+    from jax import lax
+    W = jnp.asarray(_angular_matrix(sz), jnp.bfloat16)   # (35, nn, n)
+    nb = S.ndim - 2
+    acc = lax.dot_general(
+        W, S.astype(jnp.bfloat16),
+        (((2,), (S.ndim - 1,)), ((0,), (S.ndim - 2,))),
+        preferred_element_type=jnp.float32)              # (35, nn, ...batch)
+    acc = jnp.moveaxis(acc, (0, 1), (nb, nb + 1))        # (...batch, 35, nn)
+    ang = (acc.astype(jnp.int32) + 16) >> 5
+    return ang.reshape(S.shape[:-2] + (35, sz, sz))
+
+
 def predict_per_lane(sz: int, S: jnp.ndarray) -> jnp.ndarray:
     """Mode-diagonal prediction: lane m of S predicts with mode m only.
 
@@ -127,18 +181,7 @@ def predict_per_lane(sz: int, S: jnp.ndarray) -> jnp.ndarray:
     Returns (..., 35, sz, sz). Used by the TU-split evaluation where borders
     are per-mode; `predict_all_modes` covers the shared-border case.
     """
-    idx1, idx2, frac, horiz = _angular_tables(sz)
-    take = jnp.take_along_axis
-    flat1 = jnp.asarray(idx1.reshape(35, -1))
-    flat2 = jnp.asarray(idx2.reshape(35, -1))
-    bshape = S.shape[:-2]
-    f1 = jnp.broadcast_to(flat1, bshape + flat1.shape)
-    f2 = jnp.broadcast_to(flat2, bshape + flat2.shape)
-    p1 = take(S, f1, axis=-1).reshape(bshape + (35, sz, sz))
-    p2 = take(S, f2, axis=-1).reshape(bshape + (35, sz, sz))
-    ang = ((32 - jnp.asarray(frac)) * p1 + jnp.asarray(frac) * p2 + 16) >> 5
-    hmask = jnp.asarray(horiz)[:, None, None]
-    ang = jnp.where(hmask, jnp.swapaxes(ang, -1, -2), ang)
+    ang = _angular_mm_per_lane(sz, S)
 
     # closed-form rows use each lane's own border vector
     def lane(m):
@@ -217,18 +260,6 @@ def predict_all_modes(sz: int, S: jnp.ndarray) -> jnp.ndarray:
 
     Returns (..., 35, sz, sz) int32 in [0, 255].
     """
-    idx1, idx2, frac, horiz = _angular_tables(sz)
-    idx1 = jnp.asarray(idx1)
-    idx2 = jnp.asarray(idx2)
-    frac = jnp.asarray(frac)
-
-    # angular modes (2..34): two static gathers + 5-bit interpolation
-    p1 = jnp.take(S, idx1.reshape(-1), axis=-1).reshape(S.shape[:-1] + (35, sz, sz))
-    p2 = jnp.take(S, idx2.reshape(-1), axis=-1).reshape(S.shape[:-1] + (35, sz, sz))
-    ang = ((32 - frac) * p1 + frac * p2 + 16) >> 5
-    # horizontal modes write transposed (src/HEVCe.c:374-377)
-    hmask = jnp.asarray(horiz)[:, None, None]
-    ang = jnp.where(hmask, jnp.swapaxes(ang, -1, -2), ang)
-
+    ang = _angular_mm(sz, S)
     # closed-form rows (planar/DC/H/V) share the single border vector
     return _closed_form_rows(sz, ang, S0=S, S1=S, S10=S, S26=S)
