@@ -240,9 +240,12 @@ def generate_put_coef_ops(sz: int, pmode, blk, code_zero_blocks: bool = False):
     # luma ctx_set: +2 if not the first CG, +1 if incoming c1 == 0
     ctx_set = (jnp.arange(ncg2)[None, :] != 0).astype(jnp.int32) * 2 \
         + (c1_in == 0).astype(jnp.int32)
-    # first gt1 coefficient value (for gt2 + escape base)
-    first_gt1_j = jnp.argmax(a8 > 1, axis=2)
-    first_gt1_val = jnp.take_along_axis(a8, first_gt1_j[:, :, None], axis=2)[:, :, 0]
+    # first gt1 coefficient value (for gt2 + escape base); one-hot masked sum
+    # instead of argmax+gather (per-element gathers lower to serial kCustom
+    # fusions on TPU). Zero when no gt1 exists — guarded by has_gt1 below.
+    gt1_mask = a8 > 1
+    first_gt1_oh = gt1_mask & (jnp.cumsum(gt1_mask, axis=2) == 1)
+    first_gt1_val = (a8 * first_gt1_oh).sum(axis=2)
     has_gt1 = ngt1 > 0
     escape = (nnz > 8) | (ngt1 >= 2) | (has_gt1 & (first_gt1_val > 2))
 

@@ -21,7 +21,12 @@ def estimate_coeff_rate(level: jnp.ndarray) -> jnp.ndarray:
     i = floor(log2(level-6+1)); rate = 92000 + ((4 + 2*i) << 15).
     """
     lvl = level.astype(jnp.int32)
-    small = jnp.take(jnp.asarray(C.LEVEL_RATE_TABLE), jnp.clip(lvl, 0, 5))
+    # 6-entry table as unrolled selects: a jnp.take here lowers to a serial
+    # per-element kCustom gather on TPU (measured ~0.5 GB/s; it dominated
+    # the wavefront front step), while 6 compares vectorize on the VPU
+    small = jnp.full_like(lvl, int(C.LEVEL_RATE_TABLE[5]))
+    for k in range(5):
+        small = jnp.where(lvl == k, int(C.LEVEL_RATE_TABLE[k]), small)
     v = lvl - 6
     # i = floor(log2(v+1)) for v >= 0, via 16 static comparisons (level <= 32767)
     vp1 = v + 1
