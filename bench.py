@@ -54,36 +54,22 @@ def bench_host(imgs, quick):
 
 
 def bench_fast(imgs):
-    """Wavefront fast mode over all of Kodak in shape-grouped batches of 8.
+    """Wavefront fast mode over all of Kodak, pipelined shape-grouped
+    batches of 8 (device compute of batch k+1 overlaps fetch+pack of k).
 
-    Returns (mps, streams, recons, ordered imgs). One untimed warm pass
-    compiles the two slice programs (landscape + portrait); the timed pass
-    is the steady-state throughput.
+    Returns (mps, streams, recons). One untimed warm pass compiles the two
+    slice programs (landscape + portrait) and produces the decode-verify
+    data; the timed pass is steady-state stream production (recon transfer
+    skipped — callers wanting recon decode the stream or pass
+    want_recon=True).
     """
-    from hevce_tpu.models.wavefront import encode_batch_fast
+    from hevce_tpu.models.wavefront import encode_many_fast
 
-    groups = {}
-    for im in imgs:
-        groups.setdefault(im.shape, []).append(im)
-    batches = []
-    for shape, members in sorted(groups.items()):
-        for i in range(0, len(members), 8):
-            batches.append(members[i:i + 8])
-    # warm/compile pass (also produces decode-verify data)
-    streams, recons, ordered = [], [], []
-    for b in batches:
-        s, r = encode_batch_fast(b, 2)
-        streams += s
-        recons += r
-        ordered += b
-    # timed steady-state pass
+    streams, recons = encode_many_fast(imgs, 2)          # warm + verify data
     t0 = time.time()
-    npix = 0
-    for b in batches:
-        encode_batch_fast(b, 2)
-        npix += sum(im.size for im in b)
-    mps = npix / 1e6 / (time.time() - t0)
-    return mps, streams, recons, ordered
+    encode_many_fast(imgs, 2, want_recon=False)
+    mps = sum(im.size for im in imgs) / 1e6 / (time.time() - t0)
+    return mps, streams, recons
 
 
 def main():
@@ -116,7 +102,8 @@ def main():
 def _fast_metric(imgs):
     from hevce_tpu.runtime.native import decode_stream, encode_image_native
 
-    mps, streams, recons, ordered = bench_fast(imgs)
+    mps, streams, recons = bench_fast(imgs)
+    ordered = imgs
 
     # hard correctness gate: every stream must decode to the returned recon
     for i, (s, r) in enumerate(zip(streams, recons)):

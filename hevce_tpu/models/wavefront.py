@@ -343,46 +343,30 @@ def _orig_tiles_skewed(imgs, yp, xp):
     return O
 
 
-def encode_batch_fast(images, qpd6: int, timer=None):
-    """Wavefront fast mode: encode B same-shaped uint8 grayscale images.
-
-    Returns (streams, recons) like lockstep.encode_batch. Streams are
-    standard-compliant HEVC (exact CABAC pack of the device-chosen forest)
-    but NOT bit-identical to the reference encoder: decisions use the
-    reference's estimateCoeffRate model instead of live-CABAC trial rates,
-    and the NxN partition of 8x8 CUs is not searched. The returned recon is
-    exactly what a decoder reconstructs (verified in tests against the
-    independent decoder).
-
-    timer: optional utils.tracing.PhaseTimer — accumulates device_fronts /
-    fetch / pack phases (same reporting surface as lockstep.encode_batch).
-    """
+def _dispatch_batch(images, qpd6: int):
+    """Upload + dispatch the slice runner for one same-shaped batch (async —
+    JAX queues the execution; nothing blocks). Returns (out, meta)."""
     import jax.numpy as jnp
-
-    if timer is None:
-        from hevce_tpu.utils.tracing import PhaseTimer
-        timer = PhaseTimer()
 
     images = [native._clip_dims(im) for im in images]
     shape = images[0].shape
     assert all(im.shape == shape for im in images), "batch must share dims"
-    B = len(images)
     ysz, xsz = shape
     yp, xp = -(-ysz // CTU) * CTU, -(-xsz // CTU) * CTU
     R, Cc = yp // CTU, xp // CTU
     D = 2 * (R - 1) + Cc
-
     O = jnp.asarray(_orig_tiles_skewed(images, yp, xp))
-
     run = _slice_runner_cache(qpd6, R, D)
-    with timer.phase("device_fronts"):
-        out = run(O, jnp.int32(Cc))
-        out[0].block_until_ready()
+    out = run(O, jnp.int32(Cc))
+    return out, (len(images), qpd6, ysz, xsz, yp, xp, R, Cc)
 
-    # single fetch of decisions + recon (device-shrunk dtypes + composed quant)
+
+def _finish_batch(out, meta, want_recon, timer):
+    """Fetch one dispatched batch's results and pack streams on the host."""
+    B, qpd6, ysz, xsz, yp, xp, R, Cc = meta
     with timer.phase("fetch"):
-        h = [np.asarray(a) for a in out]
-    hS, hlay, hpm, hqc = h
+        hS = np.asarray(out[0]) if want_recon else None
+        hlay, hpm, hqc = (np.asarray(a) for a in out[1:])
 
     # unskew to raster CTU order (arrays are front-major: a[d, b, r])
     def unskew(a, b):
@@ -409,9 +393,80 @@ def encode_batch_fast(images, qpd6: int, timer=None):
                 ctypes.c_longlong(cap))
             assert n > 0, f"pack failed: {n}"
             streams.append(bytes(buf[:n]))
-            tiles = unskew(hS, b)                    # (R, Cc, 32, 32)
-            recons.append(tiles.transpose(0, 2, 1, 3)
-                          .reshape(yp, xp).astype(np.uint8))
+            if want_recon:
+                tiles = unskew(hS, b)                # (R, Cc, 32, 32)
+                recons.append(tiles.transpose(0, 2, 1, 3)
+                              .reshape(yp, xp).astype(np.uint8))
+            else:
+                recons.append(None)
+    return streams, recons
+
+
+def encode_batch_fast(images, qpd6: int, timer=None, want_recon=True):
+    """Wavefront fast mode: encode B same-shaped uint8 grayscale images.
+
+    Returns (streams, recons) like lockstep.encode_batch. Streams are
+    standard-compliant HEVC (exact CABAC pack of the device-chosen forest)
+    but NOT bit-identical to the reference encoder: decisions use the
+    reference's estimateCoeffRate model instead of live-CABAC trial rates,
+    and the NxN partition of 8x8 CUs is not searched. The returned recon is
+    exactly what a decoder reconstructs (verified in tests against the
+    independent decoder); want_recon=False skips its device->host transfer
+    (a major cost on tunneled devices) and returns None recons.
+
+    timer: optional utils.tracing.PhaseTimer — accumulates device_fronts /
+    fetch / pack phases (same reporting surface as lockstep.encode_batch).
+    """
+    if timer is None:
+        from hevce_tpu.utils.tracing import PhaseTimer
+        timer = PhaseTimer()
+    with timer.phase("device_fronts"):
+        out, meta = _dispatch_batch(images, qpd6)
+        out[0].block_until_ready()
+    return _finish_batch(out, meta, want_recon, timer)
+
+
+def encode_many_fast(images, qpd6: int, batch: int = 8, timer=None,
+                     want_recon=True):
+    """Throughput-oriented fast-mode encode of a mixed-shape image list.
+
+    Groups images by shape into batches of `batch`, and PIPELINES the
+    batches: batch k+1's device slice is dispatched (async) before batch k's
+    results are fetched and packed, so device compute overlaps the
+    fetch/pack of the previous batch. Returns (streams, recons) in input
+    order; recons entries are None when want_recon=False.
+    """
+    if timer is None:
+        from hevce_tpu.utils.tracing import PhaseTimer
+        timer = PhaseTimer()
+
+    groups = {}
+    for i, im in enumerate(images):
+        groups.setdefault(im.shape, []).append(i)
+    batches = []                     # list of index lists
+    for shape in sorted(groups, key=str):
+        idx = groups[shape]
+        for k in range(0, len(idx), batch):
+            batches.append(idx[k:k + batch])
+
+    if not batches:
+        return [], []
+    streams = [None] * len(images)
+    recons = [None] * len(images)
+    pending = None                   # (out, meta, index list)
+    for idx in batches:
+        with timer.phase("dispatch"):
+            out, meta = _dispatch_batch([images[i] for i in idx], qpd6)
+        if pending is not None:
+            p_out, p_meta, p_idx = pending
+            s, r = _finish_batch(p_out, p_meta, want_recon, timer)
+            for j, i in enumerate(p_idx):
+                streams[i], recons[i] = s[j], r[j]
+        pending = (out, meta, idx)
+    p_out, p_meta, p_idx = pending
+    s, r = _finish_batch(p_out, p_meta, want_recon, timer)
+    for j, i in enumerate(p_idx):
+        streams[i], recons[i] = s[j], r[j]
     return streams, recons
 
 

@@ -45,6 +45,22 @@ def test_fast_mode_decodes_to_device_recon():
         assert len(s) < len(se) * 1.25
 
 
+def test_encode_many_fast_pipelined_matches_batches():
+    from hevce_tpu.models.wavefront import encode_many_fast
+    rng = np.random.default_rng(13)
+    shapes = [(64, 64), (64, 96), (64, 64), (64, 64), (64, 96)]
+    imgs = [rng.integers(0, 256, s).astype(np.uint8) for s in shapes]
+
+    streams, recons = encode_many_fast(imgs, 2, batch=2)  # forces pipelining
+    singles = [encode_batch_fast([im], 2) for im in imgs]
+    for i, (s1, r1) in enumerate(singles):
+        assert streams[i] == s1[0], i
+        np.testing.assert_array_equal(recons[i], r1[0])
+
+    s2, r2 = encode_many_fast(imgs, 2, batch=2, want_recon=False)
+    assert s2 == streams and all(r is None for r in r2)
+
+
 @pytest.mark.slow
 def test_fast_mode_odd_dims_and_qpd6_sweep():
     from hevce_tpu.models.wavefront import encode_image_fast
