@@ -287,7 +287,7 @@ def _make_front_core(qpd6: int, R: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _slice_runner_cache(qpd6: int, R: int, D: int):
+def _slice_runner_cache(qpd6: int, R: int, D: int, mesh=None):
     """Whole-slice runner: lax.scan over front-major original columns with a
     3-column recon window carry (see _make_front_core for why), ONE jitted
     dispatch per slice. Outputs are shrunk on device before fetch — the
@@ -320,7 +320,16 @@ def _slice_runner_cache(qpd6: int, R: int, D: int):
         _, ys = lax.scan(body, (W0, jnp.int32(0)), O)
         return ys
 
-    return jax.jit(run)
+    if mesh is None:
+        return jax.jit(run)
+    # data parallelism over the image axis (SURVEY §2.4 DP row): fronts have
+    # no cross-image dependency, so the whole slice shards trivially over an
+    # 'img' mesh axis — XLA inserts no collectives
+    from jax.sharding import NamedSharding, PartitionSpec
+    sh = NamedSharding(mesh, PartitionSpec(None, 'img'))
+    rep = NamedSharding(mesh, PartitionSpec())
+    return jax.jit(run, in_shardings=(sh, rep),
+                   out_shardings=(sh, sh, sh, sh))
 
 
 def _orig_tiles_skewed(imgs, yp, xp):
@@ -343,20 +352,24 @@ def _orig_tiles_skewed(imgs, yp, xp):
     return O
 
 
-def _dispatch_batch(images, qpd6: int):
+def _dispatch_batch(images, qpd6: int, mesh=None):
     """Upload + dispatch the slice runner for one same-shaped batch (async —
-    JAX queues the execution; nothing blocks). Returns (out, meta)."""
+    JAX queues the execution; nothing blocks). Returns (out, meta). With a
+    mesh, the batch axis is sharded over its 'img' axis (B must divide)."""
     import jax.numpy as jnp
 
     images = [native._clip_dims(im) for im in images]
     shape = images[0].shape
     assert all(im.shape == shape for im in images), "batch must share dims"
+    if mesh is not None:
+        assert len(images) % mesh.devices.size == 0, \
+            "batch must be a multiple of the mesh size"
     ysz, xsz = shape
     yp, xp = -(-ysz // CTU) * CTU, -(-xsz // CTU) * CTU
     R, Cc = yp // CTU, xp // CTU
     D = 2 * (R - 1) + Cc
     O = jnp.asarray(_orig_tiles_skewed(images, yp, xp))
-    run = _slice_runner_cache(qpd6, R, D)
+    run = _slice_runner_cache(qpd6, R, D, mesh)
     out = run(O, jnp.int32(Cc))
     return out, (len(images), qpd6, ysz, xsz, yp, xp, R, Cc)
 
@@ -402,7 +415,8 @@ def _finish_batch(out, meta, want_recon, timer):
     return streams, recons
 
 
-def encode_batch_fast(images, qpd6: int, timer=None, want_recon=True):
+def encode_batch_fast(images, qpd6: int, timer=None, want_recon=True,
+                      mesh=None):
     """Wavefront fast mode: encode B same-shaped uint8 grayscale images.
 
     Returns (streams, recons) like lockstep.encode_batch. Streams are
@@ -416,12 +430,15 @@ def encode_batch_fast(images, qpd6: int, timer=None, want_recon=True):
 
     timer: optional utils.tracing.PhaseTimer — accumulates device_fronts /
     fetch / pack phases (same reporting surface as lockstep.encode_batch).
+    mesh: optional jax.sharding.Mesh with an 'img' axis — the batch axis is
+    sharded over it (pure data parallelism: fronts have no cross-image
+    dependency; streams are identical to the unsharded path).
     """
     if timer is None:
         from hevce_tpu.utils.tracing import PhaseTimer
         timer = PhaseTimer()
     with timer.phase("device_fronts"):
-        out, meta = _dispatch_batch(images, qpd6)
+        out, meta = _dispatch_batch(images, qpd6, mesh)
         out[0].block_until_ready()
     return _finish_batch(out, meta, want_recon, timer)
 

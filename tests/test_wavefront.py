@@ -45,6 +45,30 @@ def test_fast_mode_decodes_to_device_recon():
         assert len(s) < len(se) * 1.25
 
 
+def test_fast_mode_degenerate_grids():
+    """Single-CTU, single-row (R=1) and single-column (Cc=1) grids exercise
+    the scan core's window/flag edges (no above row, no left column)."""
+    from hevce_tpu.models.wavefront import encode_image_fast
+    rng = np.random.default_rng(21)
+    for shape in ((32, 32), (32, 96), (96, 32)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        s, r = encode_image_fast(img, 2)
+        np.testing.assert_array_equal(decode_stream(s), r)
+
+
+def test_fast_mode_mesh_sharded_matches_unsharded():
+    import jax
+    from hevce_tpu.parallel.batch import make_mesh
+    rng = np.random.default_rng(17)
+    imgs = [rng.integers(0, 256, (64, 64)).astype(np.uint8) for _ in range(8)]
+    plain, _ = encode_batch_fast(imgs, 2)
+    mesh = make_mesh(jax.devices()[:8])
+    sharded, recons = encode_batch_fast(imgs, 2, mesh=mesh)
+    assert sharded == plain
+    for s, r in zip(sharded, recons):
+        np.testing.assert_array_equal(decode_stream(s), r)
+
+
 def test_encode_many_fast_pipelined_matches_batches():
     from hevce_tpu.models.wavefront import encode_many_fast
     rng = np.random.default_rng(13)
