@@ -222,8 +222,10 @@ def _to_tiles(x):
 
 
 def advance_rates(state, ops, nops):
-    """Backend-dispatching rate scan: the Pallas kernel on TPU (≥1M rates/s
-    per chip measured on v5e), the jnp chunked scan elsewhere (CPU tests).
+    """Backend-dispatching rate scan: the Pallas kernel on TPU (3.3M rates/s
+    per chip marginal on v5e, sz=8 trial op strings; 0.87M absolute at 32k
+    lanes including the tunnel RTT), the jnp chunked scan elsewhere (CPU
+    tests).
     state fields are (lanes,) / ctxs (lanes, P); ops (lanes, L); nops (lanes,).
     Returns the advanced 7-scalar state dict (ctxs omitted on the TPU path).
     """

@@ -462,7 +462,8 @@ def encode_batch(images, qpd6: int, node_rates: bool = None, timer=None,
     distributes the math.
 
     node_rates: also compute step-2/3 trial rates on device (full Phase B
-    data path; the Pallas CABAC scan kernel, ~2M rates/s/chip on v5e).
+    data path; the Pallas CABAC scan kernel, 3.3M rates/s/chip marginal on
+    v5e — the full node event incl. op generation runs ~0.21M).
     Bit-exact either way. Default: ON when running on a TPU backend (device
     rates + winner-only fetch cut per-event transfers ~600x), OFF on CPU
     (the jnp scan fallback is slower than host trials). Override with the
