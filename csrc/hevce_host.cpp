@@ -18,6 +18,7 @@
 // Build: tools/build_native.py -> hevce_tpu/runtime/libhevce_host.so
 #include <algorithm>
 #include <atomic>
+#include <cassert>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -1522,6 +1523,10 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
                     win_pm_ref = pm;
                 }
             }
+            // cannot-all-prune invariant: the first SSE-ordered mode always
+            // survives (initial budget ~(I32_MAX - c1f)/w_bits exceeds any
+            // 4x4 rate), so a winner always exists (round-2 advisor note)
+            assert(win_pm_ref >= 0);
             sub_pm[isub] = win_pm_ref;
             if (two_phase && !fetched_full) {
                 // fetch the winning PU's blocks before committing them
@@ -1684,6 +1689,7 @@ static i64 encode(const u8* img, i32* ysz, i32* xsz, i32 qpd6, u8* stream, u8* r
 struct PackRec {
     const i32* lay;   // 21
     const i32* pm;    // 21
+    const i32* pm4;   // 64: per-8x8-leaf NxN PU modes, leaf*4 + pu (lay==3 only)
     const i32* qc;    // 1024 composed
 };
 
@@ -1708,6 +1714,24 @@ static void pack_cu(EncState& st, const PackRec& rec, i32 y, i32 x, i32 sz, int 
                                          : (size_t)(node >> 2) * 256
                                                + (size_t)(node & 3) * 64);
     put_split_cu(st.enc, st.ctxs, sz, 0, gl, ga);
+    const i32 ntu = sz / 4;
+    if (rec.lay[node] == 3) {
+        // NxN: four independent 4x4 PUs (8x8 leaves only). MPM neighbor
+        // wiring and per-PU pmode map commits mirror the bit-exact engine's
+        // step 4 (reference src/HEVCe.c:1531-1556).
+        i32 h = sz / 2;
+        const i32* pms = rec.pm4 + (size_t)node * 4;
+        i32 pls[4] = {pml, pms[0], st.mpm(st.mrow(y + h), 1 + x / 4 - 1), pms[2]};
+        i32 pas[4] = {pma, st.mpm(st.mrow(y) - 1, 1 + (x + h) / 4), pms[0], pms[1]};
+        const i32* subs[4] = {qb, qb + 16, qb + 32, qb + 48};
+        put_cu_nxn(st.enc, st.ctxs, sz, pms, pls, pas, subs);
+        for (i32 r = 0; r < ntu; r++) std::memset(&st.mcu(mr + r, mc), sz, ntu);
+        st.mpm(st.mrow(y), 1 + x / 4) = (u8)pms[0];
+        st.mpm(st.mrow(y), 1 + (x + h) / 4) = (u8)pms[1];
+        st.mpm(st.mrow(y + h), 1 + x / 4) = (u8)pms[2];
+        st.mpm(st.mrow(y + h), 1 + (x + h) / 4) = (u8)pms[3];
+        return;
+    }
     if (rec.lay[node] == 1) {
         put_cu_2nx2n(st.enc, st.ctxs, sz, pm, pml, pma, qb);
     } else {
@@ -1715,14 +1739,14 @@ static void pack_cu(EncState& st, const PackRec& rec, i32 y, i32 x, i32 sz, int 
         const i32* subs[4] = {qb, qb + hh, qb + 2 * hh, qb + 3 * hh};
         put_cu_tusplit(st.enc, st.ctxs, sz, pm, pml, pma, subs);
     }
-    const i32 ntu = sz / 4;
     for (i32 r = 0; r < ntu; r++) {
         std::memset(&st.mcu(mr + r, mc), sz, ntu);
         std::memset(&st.mpm(mr + r, mc), pm, ntu);
     }
 }
 
-static i64 pack_stream(const i32* lay, const i32* pm, const i32* qc,
+static i64 pack_stream(const i32* lay, const i32* pm, const i32* pm4,
+                       const i32* qc,
                        i32 ysz, i32 xsz, i32 qpd6, u8* stream, i64 cap) {
     EncState st;
     st.qpd6 = qpd6;
@@ -1745,7 +1769,7 @@ static i64 pack_stream(const i32* lay, const i32* pm, const i32* qc,
         st.ctu_y = r * CTU;
         for (i32 c = 0; c < Cc; c++) {
             const size_t k = (size_t)r * Cc + c;
-            PackRec rec{lay + k * 21, pm + k * 21, qc + k * 1024};
+            PackRec rec{lay + k * 21, pm + k * 21, pm4 + k * 64, qc + k * 1024};
             pack_cu(st, rec, r * CTU, c * CTU, CTU, 20);
             st.enc.terminate(r == R - 1 && c == Cc - 1);
             out.insert(out.end(), st.arena.begin(), st.arena.end());
@@ -2634,16 +2658,17 @@ long long hevce_stream_capacity(int ysz, int xsz) {
     return (long long)hevce::stream_capacity(yp, xp);
 }
 
-int hevce_version() { return 13; }
+int hevce_version() { return 14; }
 
 // pack a pre-decided CU forest (wavefront fast mode) into a compliant stream;
 // record layout documented at hevce::PackRec. Returns stream bytes or -2 if
 // cap is too small.
-long long hevce_pack(const int* lay, const int* pm, const int* qc,
+long long hevce_pack(const int* lay, const int* pm, const int* pm4,
+                     const int* qc,
                      int ysz, int xsz, int qpd6, uint8_t* stream_out,
                      long long cap) {
     if (qpd6 < 0 || qpd6 > 4 || ysz <= 0 || xsz <= 0) return -1;
-    return hevce::pack_stream(lay, pm, qc, ysz, xsz, qpd6, stream_out, cap);
+    return hevce::pack_stream(lay, pm, pm4, qc, ysz, xsz, qpd6, stream_out, cap);
 }
 
 // --- lockstep batch API -----------------------------------------------------

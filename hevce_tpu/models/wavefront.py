@@ -11,8 +11,7 @@ are impossible; only the candidate *math* has the classic wavefront lattice
 
 This module is the TPU-native answer: a clearly-flagged NON-bit-exact
 "serving" mode (ROADMAP Phase C) that makes greedy decisions on device using
-the reference's own coefficient rate model (estimateCoeffRate,
-src/HEVCe.c:526-535) instead of live-CABAC trial encodes. That breaks the
+an estimated rate model instead of live-CABAC trial encodes. That breaks the
 raster decision chain, so whole anti-diagonal fronts of CTUs (2r + c = d,
 the HEVC WPP skew: left/above/above-right/above-left all land on earlier
 fronts) are searched as ONE batched tensor program. The host then emits an
@@ -20,6 +19,23 @@ exact, standard-compliant stream in a single CABAC pack pass over the chosen
 forest (csrc pack_stream; real contexts, real arithmetic coding) — the
 stream decodes bit-exactly to the device-computed reconstruction, verified
 by the independent decoder (runtime/native.decode_stream_native).
+
+The greedy rate model (round 3; closes the round-2 quality gap):
+  * coefficient bits: the reference's own estimateCoeffRate table
+    (src/HEVCe.c:526-535), as before;
+  * pmode bits: MPM-aware (3-entry probable-mode derivation per
+    src/HEVCe.c:958-977; 2/3/6-bit signalling estimate) with a real
+    neighbor-pmode map threaded through the CTU z-order walk (left-CTU edge
+    pmodes ride the scan carry; above-CTU pmode is DC by the reference's
+    non-scrolling line-buffer rule, src/HEVCe.c:1636);
+  * last-significant-XY bits: exact last scan position per candidate
+    (gather-free: constant inverse-scan vectors + one-hot coordinate sums)
+    fed through the H.265 last-XY group-code length;
+  * per-layout header constants (split/partsize/UV/cbf/TU-split bins at
+    1 bit each) replacing round-2's single flat constant.
+All 3 partitions are searched per 8x8 leaf: 2Nx2N single-TU, 2Nx2N TU-split,
+and NxN (4 independent 4x4 PUs with chained winner recon + the reference's
+MPM neighbor wiring, src/HEVCe.c:1491-1557) — round 2 skipped NxN entirely.
 
 The bit-exact reference-identical path remains the default everywhere; this
 mode trades reference-identical bytes for device-speed encoding.
@@ -31,7 +47,6 @@ _make_front_core) — no gathers (this backend compiles dynamic gathers
 pathologically, CLAUDE.md) and no per-front dynamic slicing of the big
 skewed arrays (measured to dominate the step cost on v5e).
 """
-import ctypes
 import functools
 
 import numpy as np
@@ -43,22 +58,122 @@ from hevce_tpu.runtime import native
 
 CTU = 32
 MODES = 35
-# header-bit estimates for the greedy cost (bits): per-CU overhead (split
-# flag, part size, pmode, UV pmode, cbf) and the extra TU-split flag + 3 cbf
-# bits of the 4-TU layout. Decisions only — the packed stream's real header
-# bits come from the exact CABAC pass.
-HDR_CU_BITS = 8
-HDR_TUSPLIT_EXTRA = 4
+DC = 1
+# per-layout header-bit constants (1 bit per context bin): a non-split CU
+# writes split_cu (sz>=16) or part_size (sz==8) [1] + UV pmode [1] + 2x UV
+# cbf [2] + TU-split flag [1, layouts 1/2 only] + Y cbf [1 per TU]. The
+# packed stream's real header bits come from the exact CABAC pass; these
+# only steer the greedy decisions.
+HDR_LAY1 = 6                  # flag + uv + 2 uvcbf + tusplit + 1 ycbf
+HDR_LAY2 = 9                  # flag + uv + 2 uvcbf + tusplit + 4 ycbf
+HDR_NXN = 4                   # part + uv + 2 uvcbf (per-PU ycbf counted per PU)
+SPLIT_FLAG_BITS = 1           # parent's split_cu=1 bin on the split side
 
 _SUB = ((0, 0), (0, 1), (1, 0), (1, 1))   # z-order, units of half-size
 
 
 def _est_bits(q, axes):
-    """greedy rate estimate: reference estimateCoeffRate summed over the
-    block, >>15 to bits (the table is <<15 fixed point)."""
+    """greedy coefficient-rate estimate: reference estimateCoeffRate summed
+    over the block, >>15 to bits (the table is <<15 fixed point)."""
     import jax.numpy as jnp
     r = qops.estimate_coeff_rate(jnp.abs(q)).sum(axes)
     return (r + (1 << 14)) >> 15
+
+
+def _pmode_bits(pml, pma):
+    """(lanes,) neighbor pmodes -> (lanes, 35) estimated pmode signalling
+    bits: 3-entry MPM derivation (reference src/HEVCe.c:958-977) with the
+    standard bin counts — MPM hit 0: 2 bits (ctx + 1 bypass), hits 1/2:
+    3 bits, miss: 6 bits (ctx + 5 bypass). Matches the reference's
+    last-match-wins hit scan (no break in the j loop)."""
+    import jax.numpy as jnp
+    pml = pml.astype(jnp.int32)
+    pma = pma.astype(jnp.int32)
+    neq = pml != pma
+    gt1 = pml > 1
+    e0 = jnp.where(gt1, pml, 0)
+    e1 = jnp.where(gt1, ((pml + 29) % 32) + 2, 1)
+    e2 = jnp.where(gt1, ((pml - 1) % 32) + 2, 26)
+    u2 = jnp.where((pml != 0) & (pma != 0), 0,
+                   jnp.where(pml + pma < 2, 26, 1))
+    m0 = jnp.where(neq, pml, e0)
+    m1 = jnp.where(neq, pma, e1)
+    m2 = jnp.where(neq, u2, e2)
+    modes = jnp.arange(MODES, dtype=jnp.int32)
+    bits = jnp.full(pml.shape + (MODES,), 6, jnp.int32)
+    bits = jnp.where(modes[None, :] == m0[:, None], 2, bits)
+    bits = jnp.where(modes[None, :] == m1[:, None], 3, bits)
+    bits = jnp.where(modes[None, :] == m2[:, None], 3, bits)
+    return bits
+
+
+def _np_group_bits(v, gmax: int):
+    """H.265 last-XY coordinate code length (numpy, setup time): prefix ctx
+    bins (group-index ones + terminating zero if below gmax, ~1 bit each) +
+    bypass suffix ((g-2)>>1 bits for g>3). Reference put_last_xy semantics
+    (src/HEVCe.c:1046-1087); v in [0, 31]."""
+    from hevce_tpu.bitstream import syntax as syn
+    g = syn.GROUP_INDEX[v]
+    return g + (g < gmax).astype(np.int32) + np.where(g > 3, (g - 2) >> 1, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _scan_consts(sz: int):
+    """Constant vectors for the last-XY estimate, per scan type: inverse
+    scan (flat pixel position -> scan index) and the TOTAL last-XY bits if
+    the last significant coefficient sits at that pixel (group-code lengths
+    precomputed at setup, SCAN_VER's x/y swap folded in). Plus the per-mode
+    scan type (src/HEVCe.c:1134-1150)."""
+    from hevce_tpu.bitstream import syntax as syn
+    nn = sz * sz
+    gmax = int(syn.GROUP_INDEX[sz - 1])
+    inv = np.zeros((3, nn), np.int32)
+    tbl = np.zeros((3, nn), np.int32)
+    ys = (np.arange(nn) // sz).astype(np.int32)
+    xs = (np.arange(nn) % sz).astype(np.int32)
+    for st in range(3):
+        tab = syn.scan_table(sz, st)                  # (nn, 2) of (y, x)
+        inv[st, tab[:, 0] * sz + tab[:, 1]] = np.arange(nn, dtype=np.int32)
+        ty, tx = (xs, ys) if st == syn.SCAN_VER else (ys, xs)
+        tbl[st] = _np_group_bits(tx, gmax) + _np_group_bits(ty, gmax)
+    stm = np.zeros(MODES, np.int32)
+    if sz <= 8:
+        for m in range(MODES):
+            if abs(m - 26) <= 4:
+                stm[m] = syn.SCAN_HOR
+            elif abs(m - 10) <= 4:
+                stm[m] = syn.SCAN_VER
+    return inv, tbl, stm
+
+
+def _lastxy_bits(sz: int, q):
+    """(..., 35, sz, sz) quant levels -> (..., 35) estimated last-XY bits.
+
+    Exact last significant scan position, computed gather-free: the inverse
+    scan is a CONSTANT vector, so i_last = max(inv_scan * sig), and the bits
+    at that position fall out of a one-hot sum against a constant per-pixel
+    bits table. Mode-dependent scan types (sz <= 8) select among the three
+    per-type results. All-zero blocks (cbf=0) contribute 0."""
+    import jax.numpy as jnp
+    inv, tbl, stm = _scan_consts(sz)
+    nn = sz * sz
+    sig = (q.reshape(q.shape[:-2] + (nn,)) != 0)
+    nz = sig.any(-1)
+    sigi = sig.astype(jnp.int32)
+    sts = (0, 1, 2) if sz <= 8 else (0,)
+    outs = {}
+    for st in sts:
+        invv = jnp.asarray(inv[st])
+        il = jnp.max(invv * sigi, axis=-1)
+        oh = (invv == il[..., None]).astype(jnp.int32)
+        outs[st] = (oh * jnp.asarray(tbl[st])).sum(-1)
+    if len(outs) == 1:
+        bits = outs[0]
+    else:
+        stv = jnp.asarray(stm)                        # (35,)
+        bits = jnp.where(stv == 1, outs[1],
+                         jnp.where(stv == 2, outs[2], outs[0]))
+    return jnp.where(nz, bits, 0)
 
 
 def _sub_flags(fl):
@@ -114,8 +229,9 @@ def _node_ctx(canvas, ctop, cleft, y0, x0, sz):
     return top, left
 
 
-def _eval_node(qpd6, canvas, ctop, cleft, orig, fl, y0, x0, sz):
-    """Greedy-evaluate one node: both TU layouts x 35 modes. Returns
+def _eval_node(qpd6, canvas, ctop, cleft, orig, fl, pml, pma, y0, x0, sz,
+               return_sub0=False):
+    """Greedy-evaluate one node: both 2Nx2N TU layouts x 35 modes. Returns
     (cost (B',), lay (B',) in {1,2}, pm (B',), quant (B', sz*sz),
      recon (B', sz, sz))."""
     import jax.numpy as jnp
@@ -126,8 +242,12 @@ def _eval_node(qpd6, canvas, ctop, cleft, orig, fl, y0, x0, sz):
     q1, r1, s1 = cu_eval.eval_2nx2n(sz, qpd6, top, left, flags, blk)
     q4, r4, s4 = cu_eval.eval_tusplit(sz, qpd6, top, left, flags, blk)
 
-    bits1 = _est_bits(q1, (-1, -2)) + HDR_CU_BITS
-    bits3 = _est_bits(q4, (-1, -2, -3)) + HDR_CU_BITS + HDR_TUSPLIT_EXTRA
+    h = sz // 2
+    pmb = _pmode_bits(pml, pma)                         # (B', 35)
+    last1 = _lastxy_bits(sz, q1)
+    last3 = sum(_lastxy_bits(h, q4[..., k, :, :]) for k in range(4))
+    bits1 = _est_bits(q1, (-1, -2)) + last1 + pmb + HDR_LAY1
+    bits3 = _est_bits(q4, (-1, -2, -3)) + last3 + pmb + HDR_LAY2
     cost1 = rdcost.calc_rd_cost(qpd6, s1, bits1)        # (B', 35)
     cost3 = rdcost.calc_rd_cost(qpd6, s4, bits3)
     costs = jnp.concatenate([cost1, cost3], axis=1)     # (B', 70)
@@ -146,21 +266,84 @@ def _eval_node(qpd6, canvas, ctop, cleft, orig, fl, y0, x0, sz):
              + (q4.reshape(B, MODES, nn) * oh3[:, :, None]).sum(1))
     recon = ((r1.reshape(B, MODES, nn) * oh1[:, :, None]).sum(1)
              + (r4.reshape(B, MODES, nn) * oh3[:, :, None]).sum(1))
-    return cost, lay, pm, quant, recon.reshape(B, sz, sz)
+    out = cost, lay, pm, quant, recon.reshape(B, sz, sz)
+    if not return_sub0:
+        return out
+    # TU-split sub0's dense eval is EXACTLY the NxN PU0 eval (same borders,
+    # same flags, all 35 modes from the pre-leaf canvas) — hand it to
+    # _eval_nxn instead of re-tracing a fifth 4x4 pipeline per leaf
+    q0 = q4[..., 0, :, :]
+    r0 = r4[..., 0:h, 0:h]
+    s0 = rdcost.block_sse(blk[:, None, 0:h, 0:h], r0)
+    return out, (q0, r0, s0)
+
+
+def _eval_nxn(qpd6, canvas, ctop, cleft, orig, fl8, pml, pma, pl_lo, pa_hi,
+              y0, x0, sub0):
+    """NxN partition of one 8x8 leaf: four independent 4x4 PUs, each
+    35-mode-searched against the committed recon of earlier PUs (reference
+    step 4, src/HEVCe.c:1491-1557). MPM neighbor wiring per PU follows the
+    reference (src/HEVCe.c:1531-1538): pl_lo / pa_hi are the map pmodes left
+    of PU2 and above PU1. Returns (cost (B',), pm4 (B', 4),
+    quant (B', 64) z-order, recon (B', 8, 8))."""
+    import jax.numpy as jnp
+
+    f4 = _sub_flags(fl8)
+    local = canvas
+    sat = jnp.int32(rdcost.I32_MAX)
+    total = rdcost.calc_rd_cost(
+        qpd6, jnp.zeros_like(pml), jnp.full_like(pml, HDR_NXN))
+    iota = jnp.arange(MODES, dtype=jnp.int32)
+    sub_pm, quants = [], []
+    for isub, (dy, dx) in enumerate(_SUB):
+        y, x = y0 + 4 * dy, x0 + 4 * dx
+        if isub == 0:
+            q, r, s = sub0           # == TU-split sub0's dense eval
+        else:
+            top, left = _node_ctx(local, ctop, cleft, y, x, 4)
+            flags = jnp.stack(f4[isub], axis=-1)
+            blk = orig[:, y:y + 4, x:x + 4]
+            q, r, s = cu_eval.eval_2nx2n(4, qpd6, top, left, flags, blk)
+        if isub == 0:
+            pl, pa = pml, pma
+        elif isub == 1:
+            pl, pa = sub_pm[0], pa_hi
+        elif isub == 2:
+            pl, pa = pl_lo, sub_pm[0]
+        else:
+            pl, pa = sub_pm[2], sub_pm[1]
+        bits = (_pmode_bits(pl, pa) + _lastxy_bits(4, q)
+                + _est_bits(q, (-1, -2)) + 1)            # +1: per-PU Y cbf
+        cost = rdcost.calc_rd_cost(qpd6, s, bits)        # (B', 35)
+        sel = jnp.argmin(cost, axis=1).astype(jnp.int32)
+        c = jnp.min(cost, axis=1)
+        B = sel.shape[0]
+        oh = (iota[None, :] == sel[:, None]).astype(jnp.int32)
+        qw = (q.reshape(B, MODES, 16) * oh[:, :, None]).sum(1)
+        rw = (r.reshape(B, MODES, 16) * oh[:, :, None]).sum(1).reshape(B, 4, 4)
+        local = local.at[:, y:y + 4, x:x + 4].set(rw)
+        total = jnp.where(total > sat - c, sat, total + c)
+        sub_pm.append(sel)
+        quants.append(qw)
+    return (total, jnp.stack(sub_pm, axis=-1),
+            jnp.concatenate(quants, axis=-1), local[:, y0:y0 + 8, x0:x0 + 8])
 
 
 def _make_front_core(qpd6: int, R: int):
     """Build the (unjitted) per-front core for an R-row CTU grid.
 
-    Signature: (W, o_col, d, C) -> (S_col, lay_col, pm_col, qc_col) where
+    Signature: (W, PME, o_col, d, C) -> (S_col, lay_col, pm_col, pm4_col,
+    qc_col, pme_col) where
       W (B, R, 3, 32, 32) i32 = the previous THREE committed front columns
       (W[..., 0] is front d-3, 1 is d-2, 2 is d-1 — all the recon context a
       front needs: left = same row col d-1, above = row-1 col d-2,
       above-right = row-1 col d-1, above-left = row-1 col d-3),
+      PME (B, R, 8) i32 = front d-1's committed right-edge pmode column at
+      4-pel granularity (the left-CTU MPM context for this front),
       o_col (B, R, 32, 32) uint8 original tiles of front d,
       d / C traced scalars (front index, CTU columns).
-    Returns the committed recon column (B, R, 32, 32) i32 plus the decision
-    and composed-quant columns.
+    Returns the committed recon column (B, R, 32, 32) i32, the decision /
+    NxN-PU-mode / composed-quant columns, and the new pmode edge column.
 
     This rolling-window form exists for performance: carrying whole skewed
     (B, R, D, ...) arrays and dynamic-slicing the d column made XLA spend
@@ -175,7 +358,7 @@ def _make_front_core(qpd6: int, R: int):
         """tile row r -> r-1 view: out[:, r] = t[:, r-1] (row 0 zero)."""
         return jnp.pad(t, ((0, 0), (1, 0)) + ((0, 0),) * (t.ndim - 2))[:, :-1]
 
-    def core(W, o_col, d, C):
+    def core(W, PME, o_col, d, C):
         Bb = W.shape[0]
         rr = jnp.arange(R, dtype=jnp.int32)             # CTU row per lane
         cc = d - 2 * rr                                  # CTU col per lane
@@ -211,54 +394,100 @@ def _make_front_core(qpd6: int, R: int):
         ctu_fl = (bll, blb, baa, bar)
 
         canvas = jnp.zeros((BR, CTU, CTU), jnp.int32)
+        # pmode map at 4-pel granularity, committed-winner state. Left-CTU
+        # edge comes from the carry; above-CTU pmode is DC (the reference's
+        # map_pmode line buffer never scrolls across CTU rows).
+        pmap = jnp.full((BR, 8, 8), DC, jnp.int32)
+        pm_left = jnp.where(jnp.tile(cc > 0, Bb)[:, None],
+                            PME.reshape(BR, 8), DC)
+        dc_vec = jnp.full((BR,), DC, jnp.int32)
+
+        def pm_ctx(pmap_now, yy, xx):
+            """(pml, pma) map reads for a node/PU corner at static (yy, xx)."""
+            pml_ = pm_left[:, yy // 4] if xx == 0 else pmap_now[:, yy // 4, xx // 4 - 1]
+            pma_ = dc_vec if yy == 0 else pmap_now[:, yy // 4 - 1, xx // 4]
+            return pml_, pma_
+
         n_lay = [None] * 21
         n_pm = [None] * 21
+        n_pm4 = [None] * 16
         n_q8, n_q16, n_q32 = [None] * 16, [None] * 4, None
         cost16 = [None] * 4
+
+        # saturating int32 accumulation (jnp int64 silently degrades to
+        # int32 without x64 mode; costs are <= I32_MAX, sums must not wrap)
+        sat = jnp.int32(rdcost.I32_MAX)
+
+        def sat_add(a, c_):
+            return jnp.where(a > sat - c_, sat, a + c_)
+
+        split_bit = rdcost.calc_rd_cost(
+            qpd6, jnp.zeros((BR,), jnp.int32),
+            jnp.full((BR,), SPLIT_FLAG_BITS, jnp.int32))
 
         f16 = _sub_flags(ctu_fl)
         for qi in range(4):
             y16, x16 = _SUB[qi][0] * 16, _SUB[qi][1] * 16
             f8 = _sub_flags(f16[qi])
-            # saturating int32 accumulation (jnp int64 silently degrades to
-            # int32 without x64 mode; costs are <= I32_MAX, sums must not wrap)
-            sat = jnp.int32(rdcost.I32_MAX)
-
-            def sat_add(a, c_):
-                return jnp.where(a > sat - c_, sat, a + c_)
-
             leaf_cost_sum = jnp.zeros((BR,), jnp.int32)
             for li in range(4):
                 y8, x8 = y16 + _SUB[li][0] * 8, x16 + _SUB[li][1] * 8
                 node = qi * 4 + li
-                c, la, p, qb, rc = _eval_node(
-                    qpd6, canvas, ctop, cleft, orig, f8[li], y8, x8, 8)
+                pml_n, pma_n = pm_ctx(pmap, y8, x8)
+                (c12, la12, p12, qb12, rc12), sub0 = _eval_node(
+                    qpd6, canvas, ctop, cleft, orig, f8[li], pml_n, pma_n,
+                    y8, x8, 8, return_sub0=True)
+                pl_lo, _ = pm_ctx(pmap, y8 + 4, x8)
+                _, pa_hi = pm_ctx(pmap, y8, x8 + 4)
+                cN, pm4_i, qbN, rcN = _eval_nxn(
+                    qpd6, canvas, ctop, cleft, orig, f8[li], pml_n, pma_n,
+                    pl_lo, pa_hi, y8, x8, sub0)
+                nxn = cN <= c12            # tie -> NxN (reference tries it last)
+                c = jnp.where(nxn, cN, c12)
+                la = jnp.where(nxn, 3, la12)
+                qb = jnp.where(nxn[:, None], qbN, qb12)
+                rc = jnp.where(nxn[:, None, None], rcN, rc12)
                 canvas = canvas.at[:, y8:y8 + 8, x8:x8 + 8].set(rc)
-                n_lay[node], n_pm[node], n_q8[node] = la, p, qb
+                cy, cx = y8 // 4, x8 // 4
+                pm_blk = jnp.where(nxn[:, None, None],
+                                   pm4_i.reshape(-1, 2, 2),
+                                   p12[:, None, None])
+                pmap = pmap.at[:, cy:cy + 2, cx:cx + 2].set(pm_blk)
+                n_lay[node], n_pm[node], n_q8[node] = la, p12, qb
+                n_pm4[node] = pm4_i
                 leaf_cost_sum = sat_add(leaf_cost_sum, c)
+            pml_n, pma_n = pm_ctx(pmap, y16, x16)
             c, la, p, qb, rc = _eval_node(
-                qpd6, canvas, ctop, cleft, orig, f16[qi], y16, x16, 16)
-            own_wins = c < leaf_cost_sum
+                qpd6, canvas, ctop, cleft, orig, f16[qi], pml_n, pma_n,
+                y16, x16, 16)
+            own_wins = c < sat_add(leaf_cost_sum, split_bit)
             node = 16 + qi
             n_lay[node] = jnp.where(own_wins, la, 0)
             n_pm[node] = p
             n_q16[qi] = qb
-            cost16[qi] = jnp.where(own_wins, c, leaf_cost_sum)
+            cost16[qi] = jnp.where(own_wins, c, sat_add(leaf_cost_sum, split_bit))
             canvas = jnp.where(
                 own_wins[:, None, None],
                 canvas.at[:, y16:y16 + 16, x16:x16 + 16].set(rc), canvas)
+            cy, cx = y16 // 4, x16 // 4
+            pmap = jnp.where(
+                own_wins[:, None, None],
+                pmap.at[:, cy:cy + 4, cx:cx + 4].set(p[:, None, None]), pmap)
 
+        pml_n, pma_n = pm_ctx(pmap, 0, 0)
         c, la, p, qb, rc = _eval_node(
-            qpd6, canvas, ctop, cleft, orig, ctu_fl, 0, 0, 32)
-        sat = jnp.int32(rdcost.I32_MAX)
+            qpd6, canvas, ctop, cleft, orig, ctu_fl, pml_n, pma_n, 0, 0, 32)
         split_cost = cost16[0]
         for t in (cost16[1], cost16[2], cost16[3]):
-            split_cost = jnp.where(split_cost > sat - t, sat, split_cost + t)
+            split_cost = sat_add(split_cost, t)
+        split_cost = sat_add(split_cost, split_bit)
         own_wins = c < split_cost
         n_lay[20] = jnp.where(own_wins, la, 0)
         n_pm[20] = p
         n_q32 = qb
         canvas = jnp.where(own_wins[:, None, None], rc, canvas)
+        pmap = jnp.where(own_wins[:, None, None],
+                         jnp.broadcast_to(p[:, None, None], pmap.shape), pmap)
 
         # compose the chosen forest's quant leaves (static-layout selects,
         # z-order layout pack_cu expects — csrc PackRec): leaves partition
@@ -280,45 +509,121 @@ def _make_front_core(qpd6: int, R: int):
         S_col = msk(canvas.reshape(Bb, R, CTU, CTU))
         lay_col = msk(jnp.stack(n_lay, -1).reshape(Bb, R, 21))
         pm_col = msk(jnp.stack(n_pm, -1).reshape(Bb, R, 21))
+        pm4_col = msk(jnp.stack(n_pm4, -2).reshape(Bb, R, 64))
         qc_col = msk(qc.reshape(Bb, R, 1024))
-        return S_col, lay_col, pm_col, qc_col
+        pme_col = msk(pmap[:, :, 7].reshape(Bb, R, 8))
+        return S_col, lay_col, pm_col, pm4_col, qc_col, pme_col
 
     return core
 
 
-@functools.lru_cache(maxsize=None)
-def _slice_runner_cache(qpd6: int, R: int, D: int, mesh=None):
-    """Whole-slice runner: lax.scan over front-major original columns with a
-    3-column recon window carry (see _make_front_core for why), ONE jitted
-    dispatch per slice. Outputs are shrunk on device before fetch — the
-    result transfer is a major cost on a tunneled device: recon fits uint8,
-    decisions int8, composed quant leaves int16 (coefclip is +-32767; the
-    composed form is 1/6 of shipping every node's winner).
+# per-CTU record layout in the fetched int8 buffer (see _slice_runner_cache)
+_REC_LAY = slice(0, 21)
+_REC_PM = slice(21, 42)
+_REC_PM4 = slice(42, 106)
+_REC_QC8 = slice(106, 1130)
+_REC_LEN = 1130
 
-    Signature: (O (D, B, R, 32, 32) uint8, C scalar) ->
-      (S (D, B, R, 32, 32) u8, lay/pm (D, B, R, 21) i8, qc (D, B, R, 1024) i16)
+
+@functools.lru_cache(maxsize=None)
+def _cksum_weights(n: int):
+    """host-side copy of the device checksum weights (position-sensitive so
+    reordered/shifted corruption is caught, unlike a plain sum)."""
+    return (np.arange(n, dtype=np.int32) % 8191) + 1
+
+
+def _host_cksum(flat):
+    """int32 wrap-around weighted checksum of a (B, n) int8/uint8 host array
+    (same astype-widening the device applies: int8 sign-extends, uint8
+    zero-extends)."""
+    w = _cksum_weights(flat.shape[-1])
+    return (flat.astype(np.int32) * w).sum(axis=-1, dtype=np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _slice_runner_cache(qpd6: int, R: int, Cc: int, want_recon: bool,
+                        mesh=None):
+    """Whole-slice runner: device-side skew of the raster input tiles, one
+    lax.scan over front-major columns with a 3-column recon window + pmode
+    edge carry (see _make_front_core for why), then device-side UNSKEW and
+    packing of the results — all ONE jitted dispatch per slice.
+
+    Transfers are the dominant cost on a tunneled device, so both directions
+    ship exactly the useful payload:
+      * upload: raster (B, R, Cc, 32, 32) uint8 tiles (the skewed layout has
+        D*R/(R*Cc) ~ 2.25x padding waste; skewing costs one device transpose);
+      * download: ONE int8 record buffer (B, R, Cc, 1130) = [lay 21 | pm 21 |
+        pm4 64 | qc8 1024] per CTU (quant levels clipped to int8; a per-image
+        escape flag in the sideband marks the rare |level| > 127 images, whose
+        exact int16 quants are fetched separately on demand), plus a tiny
+        (B, 3) int32 sideband [record checksum, escape flag, recon checksum].
+        Checksums are position-weighted wrap-around int32 sums computed on
+        device and ALWAYS verified host-side in _finish_batch — the axon
+        tunnel has corrupted large transfers before (round-1 VERIFICATION.md),
+        and a corrupted qc would otherwise pack into a well-formed stream
+        that silently decodes to the wrong image.
+
+    Signature: (O (B, R, Cc, 32, 32) uint8) ->
+      (buf (B, R, Cc, 1130) i8, side (B, 3) i32,
+       qc16 (B, R, Cc, 1024) i16[, S (B, yp, xp) u8 when want_recon])
     """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     core = _make_front_core(qpd6, R)
+    D = 2 * (R - 1) + Cc
 
-    def run(O, C):
-        B = O.shape[1]
+    def run(O):
+        B = O.shape[0]
+        # skew on device: Osk[d, b, r] = O[b, r, d - 2r] (zeros elsewhere)
+        cols = [jnp.pad(O[:, r], ((0, 0), (2 * r, D - Cc - 2 * r),
+                                  (0, 0), (0, 0))) for r in range(R)]
+        Osk = jnp.moveaxis(jnp.stack(cols, axis=2), 1, 0)  # (D, B, R, 32, 32)
+
         W0 = jnp.zeros((B, R, 3, CTU, CTU), jnp.int32)
+        P0 = jnp.zeros((B, R, 8), jnp.int32)
 
         def body(carry, o_col):
-            W, d = carry
-            S_col, lay_col, pm_col, qc_col = core(W, o_col, d, C)
+            W, PME, d = carry
+            S_col, lay_col, pm_col, pm4_col, qc_col, pme_col = core(
+                W, PME, o_col, d, jnp.int32(Cc))
             W = jnp.concatenate([W[:, :, 1:], S_col[:, :, None]], axis=2)
-            return (W, d + 1), (S_col.astype(jnp.uint8),
-                                lay_col.astype(jnp.int8),
-                                pm_col.astype(jnp.int8),
-                                qc_col.astype(jnp.int16))
+            return (W, pme_col, d + 1), (S_col.astype(jnp.uint8),
+                                         lay_col.astype(jnp.int8),
+                                         pm_col.astype(jnp.int8),
+                                         pm4_col.astype(jnp.int8),
+                                         qc_col.astype(jnp.int16))
 
-        _, ys = lax.scan(body, (W0, jnp.int32(0)), O)
-        return ys
+        _, ys = lax.scan(body, (W0, P0, jnp.int32(0)), Osk)
+        S, lay, pm, pm4, qc16 = ys
+
+        def unskew(a):                    # (D, B, R, ...) -> (B, R, Cc, ...)
+            rows = [a[2 * r:2 * r + Cc, :, r] for r in range(R)]
+            return jnp.moveaxis(jnp.stack(rows, axis=0), 2, 0)
+
+        lay_u, pm_u, pm4_u = unskew(lay), unskew(pm), unskew(pm4)
+        qc16_u = unskew(qc16)
+        esc = ((qc16_u < -128) | (qc16_u > 127)).reshape(B, -1).any(-1)
+        qc8 = jnp.clip(qc16_u, -128, 127).astype(jnp.int8)
+        buf = jnp.concatenate([lay_u, pm_u, pm4_u, qc8], axis=-1)
+
+        n = R * Cc * _REC_LEN
+        w = jnp.asarray(_cksum_weights(n))
+        ck = (buf.reshape(B, n).astype(jnp.int32) * w).sum(-1)
+        w16 = jnp.asarray(_cksum_weights(R * Cc * 1024))
+        ck16 = (qc16_u.reshape(B, -1).astype(jnp.int32) * w16).sum(-1)
+        outs = [buf, None, qc16_u]
+        if want_recon:
+            S_u = unskew(S)               # (B, R, Cc, 32, 32)
+            plane = S_u.transpose(0, 1, 3, 2, 4).reshape(B, R * CTU, Cc * CTU)
+            wS = jnp.asarray(_cksum_weights(R * Cc * CTU * CTU))
+            ckS = (plane.reshape(B, -1).astype(jnp.int32) * wS).sum(-1)
+            outs.append(plane)
+        else:
+            ckS = jnp.zeros((B,), jnp.int32)
+        outs[1] = jnp.stack([ck, esc.astype(jnp.int32), ckS, ck16], axis=-1)
+        return tuple(outs)
 
     if mesh is None:
         return jax.jit(run)
@@ -326,33 +631,29 @@ def _slice_runner_cache(qpd6: int, R: int, D: int, mesh=None):
     # no cross-image dependency, so the whole slice shards trivially over an
     # 'img' mesh axis — XLA inserts no collectives
     from jax.sharding import NamedSharding, PartitionSpec
-    sh = NamedSharding(mesh, PartitionSpec(None, 'img'))
-    rep = NamedSharding(mesh, PartitionSpec())
-    return jax.jit(run, in_shardings=(sh, rep),
-                   out_shardings=(sh, sh, sh, sh))
+    sh = NamedSharding(mesh, PartitionSpec('img'))
+    n_out = 4 if want_recon else 3
+    return jax.jit(run, in_shardings=(sh,), out_shardings=(sh,) * n_out)
 
 
-def _orig_tiles_skewed(imgs, yp, xp):
-    """(D, B, R, 32, 32) uint8 original tiles in FRONT-MAJOR skewed layout
-    (tile (r, c) at front 2r + c), edge-replicated from the UNPADDED dims
-    (reference src/HEVCe.c:1620-1622). Front-major is the lax.scan xs order;
-    uint8 keeps the host->device upload small (the core widens per column)."""
+def _orig_tiles_raster(imgs, yp, xp):
+    """(B, R, Cc, 32, 32) uint8 original tiles in raster CTU order,
+    edge-replicated from the UNPADDED dims (reference src/HEVCe.c:1620-1622).
+    The upload ships exactly the image pixels; the device skews to the
+    front-major lax.scan layout."""
     B = len(imgs)
     ysz, xsz = imgs[0].shape
     R, Cc = yp // CTU, xp // CTU
-    D = 2 * (R - 1) + Cc
     yy = np.clip(np.arange(yp), 0, ysz - 1)
     xx = np.clip(np.arange(xp), 0, xsz - 1)
-    O = np.zeros((D, B, R, CTU, CTU), np.uint8)
+    O = np.empty((B, R, Cc, CTU, CTU), np.uint8)
     for b, im in enumerate(imgs):
         plane = im[np.ix_(yy, xx)]
-        t = plane.reshape(R, CTU, Cc, CTU).transpose(0, 2, 1, 3)
-        for r in range(R):
-            O[2 * r:2 * r + Cc, b, r] = t[r]
+        O[b] = plane.reshape(R, CTU, Cc, CTU).transpose(0, 2, 1, 3)
     return O
 
 
-def _dispatch_batch(images, qpd6: int, mesh=None):
+def _dispatch_batch(images, qpd6: int, mesh=None, want_recon=True):
     """Upload + dispatch the slice runner for one same-shaped batch (async —
     JAX queues the execution; nothing blocks). Returns (out, meta). With a
     mesh, the batch axis is sharded over its 'img' axis (B must divide)."""
@@ -367,51 +668,52 @@ def _dispatch_batch(images, qpd6: int, mesh=None):
     ysz, xsz = shape
     yp, xp = -(-ysz // CTU) * CTU, -(-xsz // CTU) * CTU
     R, Cc = yp // CTU, xp // CTU
-    D = 2 * (R - 1) + Cc
-    O = jnp.asarray(_orig_tiles_skewed(images, yp, xp))
-    run = _slice_runner_cache(qpd6, R, D, mesh)
-    out = run(O, jnp.int32(Cc))
+    O = jnp.asarray(_orig_tiles_raster(images, yp, xp))
+    run = _slice_runner_cache(qpd6, R, Cc, want_recon, mesh)
+    out = run(O)
     return out, (len(images), qpd6, ysz, xsz, yp, xp, R, Cc)
 
 
 def _finish_batch(out, meta, want_recon, timer):
-    """Fetch one dispatched batch's results and pack streams on the host."""
+    """Fetch one dispatched batch's results, verify transfer checksums, and
+    pack streams on the host. want_recon must match the dispatch."""
     B, qpd6, ysz, xsz, yp, xp, R, Cc = meta
     with timer.phase("fetch"):
-        hS = np.asarray(out[0]) if want_recon else None
-        hlay, hpm, hqc = (np.asarray(a) for a in out[1:])
+        side = np.asarray(out[1])
+        buf = np.asarray(out[0])
+        hS = np.asarray(out[3]) if want_recon else None
 
-    # unskew to raster CTU order (arrays are front-major: a[d, b, r])
-    def unskew(a, b):
-        return np.stack([a[2 * r:2 * r + Cc, b, r] for r in range(R)])
+    # transfer integrity (always on): device-computed position-weighted
+    # checksums must match the received bytes — see _slice_runner_cache
+    got = _host_cksum(buf.reshape(B, -1))
+    if not np.array_equal(got, side[:, 0]):
+        raise IOError("fast-mode record transfer checksum mismatch "
+                      f"(tunnel corruption): {got} != {side[:, 0]}")
+    if want_recon:
+        gotS = _host_cksum(hS.reshape(B, -1))
+        if not np.array_equal(gotS, side[:, 2]):
+            raise IOError("fast-mode recon transfer checksum mismatch "
+                          f"(tunnel corruption): {gotS} != {side[:, 2]}")
 
-    lib = native._load()
-    lib.hevce_pack.restype = ctypes.c_longlong
-    lib.hevce_pack.argtypes = [ctypes.POINTER(ctypes.c_int32)] * 3 + [
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong]
-    cap = int(lib.hevce_stream_capacity(ysz, xsz))
+    qc_exact = {}
+    if side[:, 1].any():                 # rare |level| > 127 escapes
+        with timer.phase("fetch"):
+            for b in np.flatnonzero(side[:, 1]):
+                q16 = np.asarray(out[2][int(b)])
+                got16 = _host_cksum(q16.reshape(1, -1))[0]
+                if got16 != side[b, 3]:
+                    raise IOError("fast-mode qc16 transfer checksum mismatch "
+                                  f"(tunnel corruption) on image {b}")
+                qc_exact[int(b)] = q16.astype(np.int32)
+
     streams, recons = [], []
     with timer.phase("pack"):
         for b in range(B):
-            args = []
-            for a in (hlay, hpm, hqc):
-                flat = np.ascontiguousarray(unskew(a, b), np.int32).reshape(-1)
-                args.append(flat)
-            buf = np.empty(cap, np.uint8)
-            n = lib.hevce_pack(
-                *(a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in args),
-                ysz, xsz, qpd6,
-                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                ctypes.c_longlong(cap))
-            assert n > 0, f"pack failed: {n}"
-            streams.append(bytes(buf[:n]))
-            if want_recon:
-                tiles = unskew(hS, b)                # (R, Cc, 32, 32)
-                recons.append(tiles.transpose(0, 2, 1, 3)
-                              .reshape(yp, xp).astype(np.uint8))
-            else:
-                recons.append(None)
+            qc = qc_exact.get(b, buf[b, :, :, _REC_QC8])
+            streams.append(native.pack_forest(
+                buf[b, :, :, _REC_LAY], buf[b, :, :, _REC_PM],
+                buf[b, :, :, _REC_PM4], qc, ysz, xsz, qpd6))
+            recons.append(hS[b] if want_recon else None)
     return streams, recons
 
 
@@ -421,9 +723,10 @@ def encode_batch_fast(images, qpd6: int, timer=None, want_recon=True,
 
     Returns (streams, recons) like lockstep.encode_batch. Streams are
     standard-compliant HEVC (exact CABAC pack of the device-chosen forest)
-    but NOT bit-identical to the reference encoder: decisions use the
-    reference's estimateCoeffRate model instead of live-CABAC trial rates,
-    and the NxN partition of 8x8 CUs is not searched. The returned recon is
+    but NOT bit-identical to the reference encoder: decisions use an
+    estimated rate model (estimateCoeffRate + MPM-aware pmode bits +
+    last-XY length) instead of live-CABAC trial rates. All three partition
+    layouts (single TU, TU-split, NxN) are searched. The returned recon is
     exactly what a decoder reconstructs (verified in tests against the
     independent decoder); want_recon=False skips its device->host transfer
     (a major cost on tunneled devices) and returns None recons.
@@ -438,13 +741,16 @@ def encode_batch_fast(images, qpd6: int, timer=None, want_recon=True,
         from hevce_tpu.utils.tracing import PhaseTimer
         timer = PhaseTimer()
     with timer.phase("device_fronts"):
-        out, meta = _dispatch_batch(images, qpd6, mesh)
-        out[0].block_until_ready()
+        out, meta = _dispatch_batch(images, qpd6, mesh, want_recon)
+        # block_until_ready can return early on the tunneled axon backend
+        # (CLAUDE.md) — a real fetch of the tiny sideband is the only
+        # reliable sync, so the device/fetch phase split stays honest
+        np.asarray(out[1])
     return _finish_batch(out, meta, want_recon, timer)
 
 
 def encode_many_fast(images, qpd6: int, batch: int = 8, timer=None,
-                     want_recon=True):
+                     want_recon=True, mesh=None):
     """Throughput-oriented fast-mode encode of a mixed-shape image list.
 
     Groups images by shape into batches of `batch`, and PIPELINES the
@@ -452,6 +758,11 @@ def encode_many_fast(images, qpd6: int, batch: int = 8, timer=None,
     results are fetched and packed, so device compute overlaps the
     fetch/pack of the previous batch. Returns (streams, recons) in input
     order; recons entries are None when want_recon=False.
+
+    mesh: optional jax.sharding.Mesh with an 'img' axis, forwarded to each
+    batch dispatch (image-axis data parallelism). Trailing batches are
+    padded by repeating the last image up to the mesh size; the padded
+    copies' outputs are dropped.
     """
     if timer is None:
         from hevce_tpu.utils.tracing import PhaseTimer
@@ -470,20 +781,27 @@ def encode_many_fast(images, qpd6: int, batch: int = 8, timer=None,
         return [], []
     streams = [None] * len(images)
     recons = [None] * len(images)
-    pending = None                   # (out, meta, index list)
+    pending = None                   # (out, meta, index list, n_real)
+
+    def finish(p):
+        p_out, p_meta, p_idx, n_real = p
+        s, r = _finish_batch(p_out, p_meta, want_recon, timer)
+        for j, i in enumerate(p_idx[:n_real]):
+            streams[i], recons[i] = s[j], r[j]
+
     for idx in batches:
+        batch_imgs = [images[i] for i in idx]
+        n_real = len(batch_imgs)
+        if mesh is not None:
+            msize = mesh.devices.size
+            pad = (-n_real) % msize
+            batch_imgs = batch_imgs + [batch_imgs[-1]] * pad
         with timer.phase("dispatch"):
-            out, meta = _dispatch_batch([images[i] for i in idx], qpd6)
+            out, meta = _dispatch_batch(batch_imgs, qpd6, mesh, want_recon)
         if pending is not None:
-            p_out, p_meta, p_idx = pending
-            s, r = _finish_batch(p_out, p_meta, want_recon, timer)
-            for j, i in enumerate(p_idx):
-                streams[i], recons[i] = s[j], r[j]
-        pending = (out, meta, idx)
-    p_out, p_meta, p_idx = pending
-    s, r = _finish_batch(p_out, p_meta, want_recon, timer)
-    for j, i in enumerate(p_idx):
-        streams[i], recons[i] = s[j], r[j]
+            finish(pending)
+        pending = (out, meta, idx, n_real)
+    finish(pending)
     return streams, recons
 
 

@@ -101,6 +101,35 @@ def encode_many_native(imgs, qpd6: int, nthreads: int = 0):
             [rcons[i] for i in range(n)])
 
 
+def pack_forest(lay, pm, pm4, qc, ysz: int, xsz: int, qpd6: int) -> bytes:
+    """Pack a pre-decided CU forest (wavefront fast mode) into a compliant
+    stream with the exact CABAC machinery (csrc pack_stream). Per-CTU record
+    layout is documented at csrc PackRec: lay/pm 21 nodes, pm4 64 NxN PU
+    modes, qc 1024 composed z-order quant leaves. Arrays may be any integer
+    dtype/shape; they are flattened to int32 in raster CTU order."""
+    lib = _load()
+    if not hasattr(lib.hevce_pack, "_bound"):
+        lib.hevce_pack.restype = ctypes.c_longlong
+        lib.hevce_pack.argtypes = [ctypes.POINTER(ctypes.c_int32)] * 4 + [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong]
+        lib.hevce_stream_capacity.restype = ctypes.c_longlong
+        lib.hevce_stream_capacity.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.hevce_pack._bound = True
+    cap = int(lib.hevce_stream_capacity(ysz, xsz))
+    buf = np.empty(cap, np.uint8)
+    arrs = [np.ascontiguousarray(a, np.int32).reshape(-1)
+            for a in (lay, pm, pm4, qc)]
+    n = lib.hevce_pack(
+        *(a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs),
+        ysz, xsz, qpd6,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_longlong(cap))
+    if n <= 0:
+        raise ValueError(f"hevce_pack failed: {n}")
+    return bytes(buf[:n])
+
+
 def decode_stream(stream: bytes) -> np.ndarray:
     """Decode an .h265 stream produced by this encoder subset with the
     independent native decoder (spec-side arithmetic decoding + syntax
