@@ -85,6 +85,65 @@ def test_encode_many_fast_pipelined_matches_batches():
     assert s2 == streams and all(r is None for r in r2)
 
 
+def test_fast_mode_transfer_checksum_catches_corruption(monkeypatch):
+    """Bit-flip injection: transfer integrity is DEFAULT-ON for the fast
+    path (round-2 verdict item 5) — a corrupted record buffer would
+    otherwise pack into a well-formed stream that silently decodes to the
+    wrong image (the axon tunnel has corrupted large transfers before)."""
+    from hevce_tpu.models import wavefront as wf
+    from hevce_tpu.utils.tracing import PhaseTimer
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    out, meta = wf._dispatch_batch([img], 2, None, True)
+
+    real = np.asarray
+
+    def corrupt(a, *args, **kw):
+        h = real(a, *args, **kw)
+        if getattr(h, "dtype", None) == np.int8 and h.size > 1000:
+            h = h.copy()
+            h.reshape(-1)[123] ^= 1
+        return h
+
+    monkeypatch.setattr(wf.np, "asarray", corrupt)
+    with pytest.raises(IOError, match="checksum mismatch"):
+        wf._finish_batch(out, meta, True, PhaseTimer())
+
+
+def test_fast_mode_int8_escape_fallback():
+    """An image whose quant levels exceed int8 must set the escape flag and
+    still round-trip through the exact int16 fallback fetch."""
+    from hevce_tpu.models import wavefront as wf
+    # 2-pel checkerboard at qpd6=0 drives huge high-frequency coefficients
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = (255 * ((yy // 2 + xx // 2) % 2)).astype(np.uint8)
+    out, meta = wf._dispatch_batch([img], 0, None, True)
+    side = np.asarray(out[1])
+    assert side[0, 1] == 1, "expected an int8 escape on this content"
+    s, r = wf._finish_batch(out, meta, True, __import__(
+        "hevce_tpu.utils.tracing", fromlist=["PhaseTimer"]).PhaseTimer())
+    np.testing.assert_array_equal(decode_stream(s[0]), r[0])
+
+
+@pytest.mark.slow
+def test_fast_mode_kodak_image():
+    """Kodak-sized (768x512) fast-mode regression in-suite, so bench.py is
+    not the only guard on the flagship path (round-2 verdict item 9):
+    decode-verified + quality/size envelope vs the bit-exact engine."""
+    import os
+    path = "/root/reference/testimage/01.pgm"
+    if not os.path.exists(path):
+        pytest.skip("reference test images unavailable")
+    from hevce_tpu.utils.imageio import read_pgm
+    from hevce_tpu.models.wavefront import encode_image_fast
+    img = read_pgm(path)
+    s, r = encode_image_fast(img, 2)
+    np.testing.assert_array_equal(decode_stream(s), r)
+    se, re = encode_image_native(img, 2)
+    assert _psnr(r[:512, :768], img) > _psnr(re[:512, :768], img) - 0.5
+    assert len(s) < len(se) * 1.06
+
+
 @pytest.mark.slow
 def test_fast_mode_odd_dims_and_qpd6_sweep():
     from hevce_tpu.models.wavefront import encode_image_fast
