@@ -982,6 +982,13 @@ struct EncState {
     CtxSet ctxs;
     std::vector<u8> arena;   // shared byte arena (coder output since last drain)
     MathProvider* mp = nullptr;
+    // optional device-oracle hints (wavefront fast-mode decisions): per-CTU
+    // 106 int8 = [lay 21 | pm 21 | pm4 64] in raster CTU order. Hints only
+    // REORDER trial evaluation (best-guess candidate first, so the running
+    // best tightens immediately and the provable prunes bite) — decisions
+    // and streams are bit-identical with or without them.
+    const int8_t* hints = nullptr;
+    i32 hint_cols = 0;
 
     // clamped reads
     inline u8 rc(i32 y, i32 x) const {
@@ -1335,6 +1342,26 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
     // later candidate, reference src/HEVCe.c:1440). A trial is only skipped
     // (budget < 0) or aborted (bits > budget) when cost > best is provable,
     // which can never drop a tie-winner.
+    // device-oracle hint for this node (see EncState::hints): the fast
+    // mode's chosen candidate goes first in the trial order below
+    const int8_t* hrec = nullptr;
+    i32 hint_ref = -1;
+    if (st.hints) {
+        hrec = st.hints + (size_t)((y / CTU) * st.hint_cols + x / CTU) * 106;
+        i32 yy = y & (CTU - 1), xx = x & (CTU - 1);
+        int node;
+        if (sz == 32) node = 20;
+        else {
+            i32 qi = ((yy >> 4) << 1) | (xx >> 4);
+            node = (sz == 16) ? 16 + qi
+                              : qi * 4 + ((((yy >> 3) & 1) << 1) | ((xx >> 3) & 1));
+        }
+        i32 hlay = hrec[node], hpm = hrec[21 + node];
+        if (hpm >= 0 && hpm < MODES)
+            hint_ref = hpm + (hlay == 2 ? MODES : 0);
+        hrec += 42 + (sz == MIN_CU ? (size_t)node * 4 : 0);  // -> pm4 of this leaf
+    }
+
     i32 win_step = 0, win_pm = -1;   // 0 = incumbent (step 1)
     {
         // two-phase providers: quant/recon are not resident yet. If every
@@ -1362,6 +1389,12 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
             i32 sa = sse_of(a), sb = sse_of(b);
             return sa != sb ? sa < sb : a < b;
         });
+        if (hint_ref >= 0)           // hinted candidate first (order-safe)
+            for (i32 i = 1; i < 2 * MODES; i++)
+                if (order[i] == hint_ref) {
+                    std::rotate(order, order + i, order + i + 1);
+                    break;
+                }
         i32 win_ref = -1;            // reference index of the winner (-1 = step 1)
         for (i32 k = 0; k < 2 * MODES; k++) {
             const i32 ref = order[k];
@@ -1479,6 +1512,12 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
             std::sort(order, order + MODES, [&](i32 a, i32 b) {
                 return P.sse[a] != P.sse[b] ? P.sse[a] < P.sse[b] : a < b;
             });
+            if (hrec && hrec[isub] >= 0 && hrec[isub] < MODES)
+                for (i32 i = 1; i < MODES; i++)   // hinted PU mode first
+                    if (order[i] == hrec[isub]) {
+                        std::rotate(order, order + i, order + i + 1);
+                        break;
+                    }
             i32 win_pm_ref = -1;   // mode index of the winner (tie: largest)
             for (i32 k = 0; k < MODES; k++) {
                 const i32 pm = order[k];
@@ -1620,10 +1659,12 @@ static void write_headers(std::vector<u8>& out, i32 qpd6, i32 ysz, i32 xsz) {
 }
 
 static i64 encode(const u8* img, i32* ysz, i32* xsz, i32 qpd6, u8* stream, u8* rcon_out,
-                  MathProvider* mp = nullptr, size_t stream_cap = 0) {
+                  MathProvider* mp = nullptr, size_t stream_cap = 0,
+                  const int8_t* hints = nullptr) {
     LocalMathProvider local;
     EncState st;
     st.mp = mp ? mp : &local;
+    st.hints = hints;
     st.qpd6 = qpd6;
     st.ysz0 = *ysz < 8192 ? *ysz : 8192;
     st.xsz0 = *xsz < 8192 ? *xsz : 8192;
@@ -1634,6 +1675,7 @@ static i64 encode(const u8* img, i32* ysz, i32* xsz, i32 qpd6, u8* stream, u8* r
     st.map_w = 1 + st.xszn / 4;
     st.map_cu_sz.assign((size_t)9 * st.map_w, CTU);
     st.map_pmode.assign((size_t)9 * st.map_w, 1);  // DC
+    st.hint_cols = st.xszn / CTU;
     st.ctxs.init(qpd6);
     st.arena.reserve(1 << 20);
     st.enc.arena = &st.arena;
@@ -1979,6 +2021,7 @@ static void batch_worker(BatchEngine* be, i32 slot) {
 struct NativeBatch {
     const u8* imgs;
     i32 n, ysz, xsz, qpd6;
+    const int8_t* hints = nullptr;   // optional, n * n_ctus * 106 (see EncState)
     std::vector<std::vector<u8>> streams, rcons;
     std::atomic<i32> next{0};
     void run(i32 slot) {
@@ -1986,8 +2029,10 @@ struct NativeBatch {
         i32 yp = (ysz + CTU - 1) / CTU * CTU, xp = (xsz + CTU - 1) / CTU * CTU;
         std::vector<u8> stream(stream_capacity(yp, xp));
         std::vector<u8> rcon((size_t)yp * xp);
+        size_t hstride = (size_t)(yp / CTU) * (xp / CTU) * 106;
         i64 len = encode(imgs + (size_t)slot * ysz * xsz, &y, &x, qpd6,
-                         stream.data(), rcon.data(), nullptr, stream.size());
+                         stream.data(), rcon.data(), nullptr, stream.size(),
+                         hints ? hints + (size_t)slot * hstride : nullptr);
         stream.resize((size_t)len);
         streams[slot] = std::move(stream);
         rcons[slot] = std::move(rcon);
@@ -2628,6 +2673,11 @@ static i64 decode(const u8* stream, size_t n, i32* ysz, i32* xsz, u8* luma_out) 
 
 extern "C" {
 
+int hevce_encode_many_hinted(const uint8_t* imgs, int n, int ysz, int xsz,
+                             int qpd6, const int8_t* hints, int nthreads,
+                             uint8_t* streams_out, long long stream_cap,
+                             long long* lens_out, uint8_t* rcons_out);
+
 // mirrors the reference contract HEVCImageEncoder (reference src/HEVCe.h:5-12)
 // plus an explicit stream_out capacity: returns -2 (no write) if the encoded
 // stream would exceed it. Pass stream_cap=0 to skip the check (trusted caller
@@ -2760,9 +2810,21 @@ void hevce_batch_destroy(void* h) {
 int hevce_encode_many(const uint8_t* imgs, int n, int ysz, int xsz, int qpd6,
                       int nthreads, uint8_t* streams_out, long long stream_cap,
                       long long* lens_out, uint8_t* rcons_out) {
+    return hevce_encode_many_hinted(imgs, n, ysz, xsz, qpd6, nullptr, nthreads,
+                                    streams_out, stream_cap, lens_out, rcons_out);
+}
+
+// like hevce_encode_many, with optional device-oracle trial-order hints
+// (n * ctus * 106 int8, raster CTU order; see EncState::hints). Streams are
+// bit-identical with or without hints — hints only accelerate the search.
+int hevce_encode_many_hinted(const uint8_t* imgs, int n, int ysz, int xsz,
+                             int qpd6, const int8_t* hints, int nthreads,
+                             uint8_t* streams_out, long long stream_cap,
+                             long long* lens_out, uint8_t* rcons_out) {
     if (n <= 0 || qpd6 < 0 || qpd6 > 4 || ysz <= 0 || xsz <= 0) return -1;
     hevce::NativeBatch nb;
     nb.imgs = imgs; nb.n = n; nb.ysz = ysz; nb.xsz = xsz; nb.qpd6 = qpd6;
+    nb.hints = hints;
     hevce::native_batch_encode(nb, nthreads < 1 ? 1 : nthreads);
     int yp = (ysz + 31) / 32 * 32, xp = (xsz + 31) / 32 * 32;
     size_t cap = (size_t)stream_cap;

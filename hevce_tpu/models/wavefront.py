@@ -820,6 +820,62 @@ def encode_image_fast(img, qpd6: int):
     return s[0], r[0]
 
 
+def encode_many_exact(images, qpd6: int, nthreads: int = 0, timer=None,
+                      batch: int = 8):
+    """BIT-EXACT batch encode accelerated by the device oracle.
+
+    The wavefront fast mode's near-optimal decisions (lay/pm/pm4 — the
+    record buffer's hint prefix) are computed on device, then the native
+    engine re-runs the exact reference RDO with the hinted candidate FIRST
+    in each node's trial order. Ordering is decision-safe (the arbiter's
+    tie-break tracks reference indices, csrc process_cu), so streams are
+    byte-identical to encode_image_native — the hints only make the
+    provable prunes (dist floor, bit budget, mid-trial abort) bite
+    immediately instead of after the first few SSE-ordered trials.
+
+    Device slices for later batches overlap host encodes of earlier ones
+    (the host RDO is the long pole). Returns (streams, recons)."""
+    if timer is None:
+        from hevce_tpu.utils.tracing import PhaseTimer
+        timer = PhaseTimer()
+
+    groups = {}
+    for i, im in enumerate(images):
+        groups.setdefault(im.shape, []).append(i)
+    batches = []
+    for shape in sorted(groups, key=str):
+        idx = groups[shape]
+        for k in range(0, len(idx), batch):
+            batches.append(idx[k:k + batch])
+    if not batches:
+        return [], []
+
+    streams = [None] * len(images)
+    recons = [None] * len(images)
+    pending = []
+    for idx in batches:
+        with timer.phase("dispatch"):
+            out, meta = _dispatch_batch(
+                [images[i] for i in idx], qpd6, want_recon=False)
+        pending.append((out, meta, idx))
+    for out, meta, idx in pending:
+        B, q, ysz, xsz, yp, xp, R, Cc = meta
+        with timer.phase("fetch"):
+            side = np.asarray(out[1])
+            buf = np.asarray(out[0])
+        got = _host_cksum(buf.reshape(B, -1))
+        if not np.array_equal(got, side[:, 0]):
+            raise IOError("fast-mode record transfer checksum mismatch "
+                          f"(tunnel corruption): {got} != {side[:, 0]}")
+        hints = np.ascontiguousarray(buf[:, :, :, :106])
+        with timer.phase("host_rdo"):
+            s, r = native.encode_many_native(
+                [images[i] for i in idx], qpd6, nthreads, hints=hints)
+        for j, i in enumerate(idx):
+            streams[i], recons[i] = s[j], r[j]
+    return streams, recons
+
+
 @functools.lru_cache(maxsize=None)
 def front_macs_per_ctu() -> int:
     """Lower-bound MXU MAC count of the front core per CTU: the constant-

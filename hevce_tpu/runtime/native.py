@@ -59,10 +59,15 @@ def _clip_dims(img: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(img, np.uint8)
 
 
-def encode_many_native(imgs, qpd6: int, nthreads: int = 0):
+def encode_many_native(imgs, qpd6: int, nthreads: int = 0, hints=None):
     """Parallel native batch encode: nthreads C++ workers drain the image
     queue (host math). The production throughput path on many-core hosts;
     bit-exact per image. nthreads=0 -> os.cpu_count().
+
+    hints: optional (n, n_ctus, 106) int8 device-oracle decision records
+    ([lay 21 | pm 21 | pm4 64] per CTU, the wavefront fast mode's record
+    prefix). Hints only REORDER trial evaluation in the exact RDO — streams
+    are bit-identical with or without them, just found faster.
 
     Returns (list of stream bytes, list of recon arrays (padded dims)).
     """
@@ -76,22 +81,28 @@ def encode_many_native(imgs, qpd6: int, nthreads: int = 0):
     yp, xp = -(-ysz // 32) * 32, -(-xsz // 32) * 32
     cap = stream_capacity(ysz, xsz)
     lib = _load()
-    if not hasattr(lib.hevce_encode_many, "_bound"):
-        lib.hevce_encode_many.restype = ctypes.c_int
-        lib.hevce_encode_many.argtypes = [
+    if not hasattr(lib.hevce_encode_many_hinted, "_bound"):
+        lib.hevce_encode_many_hinted.restype = ctypes.c_int
+        lib.hevce_encode_many_hinted.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_longlong),
             ctypes.POINTER(ctypes.c_uint8)]
-        lib.hevce_encode_many._bound = True
+        lib.hevce_encode_many_hinted._bound = True
     blob = np.concatenate([im.reshape(-1) for im in imgs])
     streams = np.empty(n * cap, np.uint8)
     lens = np.empty(n, np.int64)
     rcons = np.empty((n, yp, xp), np.uint8)
-    rc = lib.hevce_encode_many(
+    hptr = ctypes.POINTER(ctypes.c_int8)()
+    if hints is not None:
+        hints = np.ascontiguousarray(hints, np.int8)
+        assert hints.size == n * (yp // 32) * (xp // 32) * 106, hints.shape
+        hptr = hints.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+    rc = lib.hevce_encode_many_hinted(
         blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, ysz, xsz, qpd6,
-        nthreads or (_os.cpu_count() or 1),
+        hptr, nthreads or (_os.cpu_count() or 1),
         streams.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
         rcons.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))

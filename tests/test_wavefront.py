@@ -125,6 +125,22 @@ def test_fast_mode_int8_escape_fallback():
     np.testing.assert_array_equal(decode_stream(s[0]), r[0])
 
 
+def test_encode_many_exact_hinted_bit_exact():
+    """Device-oracle HINTED exact encode must be byte-identical to the
+    unhinted native engine — hints only reorder trial evaluation (round-2
+    verdict item 4: use the device oracle to accelerate the exact search)."""
+    from hevce_tpu.models.wavefront import encode_many_exact
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (64, 64)).astype(np.uint8) for _ in range(2)]
+    yy, xx = np.mgrid[0:64, 0:64]
+    imgs.append(((yy * 3 + xx) % 256).astype(np.uint8))
+    s, r = encode_many_exact(imgs, 2, nthreads=1)
+    for i, im in enumerate(imgs):
+        se, re = encode_image_native(im, 2)
+        assert s[i] == se, f"hinted stream {i} != exact"
+        np.testing.assert_array_equal(r[i], re)
+
+
 @pytest.mark.slow
 def test_fast_mode_kodak_image():
     """Kodak-sized (768x512) fast-mode regression in-suite, so bench.py is
