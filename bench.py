@@ -83,7 +83,7 @@ def bench_fast(imgs):
     land = [im for im in imgs if im.shape == imgs[0].shape][:BATCH]
     t0 = time.time()
     out, _ = wf._dispatch_batch(land, 2, want_recon=False)
-    np.asarray(out[1])
+    np.asarray(out[:, -4:])  # lean output: sync via the tiny checksum tail
     dt = time.time() - t0
     n_ctu = sum(-(-im.shape[0] // 32) * -(-im.shape[1] // 32) for im in land)
     util = n_ctu * wf.front_macs_per_ctu() * 2 / dt / V5E_BF16_PEAK

@@ -1132,6 +1132,41 @@ static i32 candidate(i32 qpd6, i32 sz, const Borders& B, i32 pmode, const u8* or
     }
 }
 
+// single-mode TU-split chain for one node: the 4 chained sub-TU quants and
+// the (sz, sz) recon canvas for ONE pmode. Shared by node_math's per-mode
+// dense loop and the fast-mode pack replay (pack_stream_img), so the two
+// paths compute byte-identical sub-TU border context by construction.
+static void tusplit_mode(i32 qpd6, i32 sz, const i32* top, const i32* left,
+                         const bool sf[4][4], i32 pm, const u8* orig,
+                         i32* quant4_out, u8* canvas) {
+    const i32 h = sz / 2;
+    for (int isub = 0; isub < 4; isub++) {
+        i32 oy = kSubOff[isub][0] * h, ox = kSubOff[isub][1] * h;
+        i32 stop[1 + 2 * CTU], sleft[2 * CTU];
+        // assemble sub-TU border context from outer ctx + canvas
+        for (i32 j = 0; j < 1 + 2 * h; j++) {
+            i32 gy = oy - 1, gx = ox - 1 + j;
+            stop[j] = (gy < 0) ? top[1 + iclip(gx, -1, 2 * sz - 1)]
+                      : (gx < 0) ? left[gy]
+                      : canvas[gy * sz + iclip(gx, 0, sz - 1)];
+        }
+        for (i32 i = 0; i < 2 * h; i++) {
+            i32 gy = oy + i, gx = ox - 1;
+            sleft[i] = (gx < 0) ? left[iclip(gy, 0, 2 * sz - 1)]
+                       : canvas[iclip(gy, 0, sz - 1) * sz + gx];
+        }
+        Borders SB;
+        build_borders(h, stop, sleft, sf[isub][0], sf[isub][1], sf[isub][2], sf[isub][3], SB);
+        u8 srecon[CTU * CTU / 4];
+        u8 sorig[CTU * CTU / 4];
+        for (i32 i = 0; i < h; i++)
+            for (i32 j = 0; j < h; j++) sorig[i * h + j] = orig[(oy + i) * sz + ox + j];
+        candidate(qpd6, h, SB, pm, sorig, h, quant4_out + isub * h * h, srecon);
+        for (i32 i = 0; i < h; i++)
+            for (i32 j = 0; j < h; j++) canvas[(oy + i) * sz + ox + j] = srecon[i * h + j];
+    }
+}
+
 // host math engine: fills NodeMath for one node (the TPU device engine fills
 // the same shapes on the batched path)
 static void node_math(EncState& st, i32 y, i32 x, i32 sz,
@@ -1150,37 +1185,12 @@ static void node_math(EncState& st, i32 y, i32 x, i32 sz,
                               M.recon + (size_t)pm * sz * sz);
 
     // TU-split: per-mode chained sub-TUs over a per-mode canvas
-    i32 h = sz / 2;
     bool sf[4][4];
     sub_flags(bll, blb, baa, bar, sf);
     for (i32 pm = 0; pm < MODES; pm++) {
         u8* canvas = M.recon4 + (size_t)pm * sz * sz;  // (sz, sz), stride sz
-        for (int isub = 0; isub < 4; isub++) {
-            i32 oy = kSubOff[isub][0] * h, ox = kSubOff[isub][1] * h;
-            i32 stop[1 + 2 * CTU], sleft[2 * CTU];
-            // assemble sub-TU border context from outer ctx + canvas
-            for (i32 j = 0; j < 1 + 2 * h; j++) {
-                i32 gy = oy - 1, gx = ox - 1 + j;
-                stop[j] = (gy < 0) ? top[1 + iclip(gx, -1, 2 * sz - 1)]
-                          : (gx < 0) ? left[gy]
-                          : canvas[gy * sz + iclip(gx, 0, sz - 1)];
-            }
-            for (i32 i = 0; i < 2 * h; i++) {
-                i32 gy = oy + i, gx = ox - 1;
-                sleft[i] = (gx < 0) ? left[iclip(gy, 0, 2 * sz - 1)]
-                           : canvas[iclip(gy, 0, sz - 1) * sz + gx];
-            }
-            Borders SB;
-            build_borders(h, stop, sleft, sf[isub][0], sf[isub][1], sf[isub][2], sf[isub][3], SB);
-            u8 srecon[CTU * CTU / 4];
-            u8 sorig[CTU * CTU / 4];
-            for (i32 i = 0; i < h; i++)
-                for (i32 j = 0; j < h; j++) sorig[i * h + j] = orig[(oy + i) * sz + ox + j];
-            candidate(st.qpd6, h, SB, pm, sorig, h,
-                      M.quant4 + (size_t)pm * sz * sz + isub * h * h, srecon);
-            for (i32 i = 0; i < h; i++)
-                for (i32 j = 0; j < h; j++) canvas[(oy + i) * sz + ox + j] = srecon[i * h + j];
-        }
+        tusplit_mode(st.qpd6, sz, top, left, sf, pm, orig,
+                     M.quant4 + (size_t)pm * sz * sz, canvas);
         i32 sse = 0;
         for (i32 i = 0; i < sz * sz; i++) {
             i32 d = (i32)orig[i] - canvas[i];
@@ -1732,10 +1742,64 @@ struct PackRec {
     const i32* lay;   // 21
     const i32* pm;    // 21
     const i32* pm4;   // 64: per-8x8-leaf NxN PU modes, leaf*4 + pu (lay==3 only)
-    const i32* qc;    // 1024 composed
+    const i32* qc;    // 1024 composed; nullptr -> recompute from decisions
 };
 
-static void pack_cu(EncState& st, const PackRec& rec, i32 y, i32 x, i32 sz, int node) {
+// Decision replay: recompute one non-split CU's quant levels + recon from the
+// device-chosen (lay, pmode[s]) alone. The candidate pipeline (predict ->
+// fwd transform -> RDOQ quantize -> recon) is deterministic integer math and
+// bit-identical between the device fast mode and this host engine (both are
+// golden-validated against the same vectors), so the recomputed levels equal
+// the ones the device composed — which lets the fast mode fetch only the
+// ~106 B/CTU decision records instead of the 1 KB/CTU quant planes (the
+// device->host transfer was the fast path's dominant cost on tunneled TPUs).
+// Commits the recon into st.rcon exactly like the bit-exact encoder does.
+static void replay_cu(EncState& st, i32 y, i32 x, i32 sz, i32 lay,
+                      const i32* pms, bool bll, bool blb, bool baa, bool bar,
+                      i32* qout) {
+    i32 top[1 + 2 * CTU], left[2 * CTU];
+    if (lay == 3) {
+        // NxN: four 4x4 PUs chained through the committed plane (the device
+        // commits each PU's recon into its canvas before the next PU's
+        // borders are read — reference step-4 semantics, src/HEVCe.c:1539-1556)
+        const i32 h = sz / 2;
+        bool sf[4][4];
+        sub_flags(bll, blb, baa, bar, sf);
+        for (int isub = 0; isub < 4; isub++) {
+            i32 py = y + kSubOff[isub][0] * h, px = x + kSubOff[isub][1] * h;
+            ctx_slices(st, py, px, 4, top, left);
+            Borders B;
+            build_borders(4, top, left, sf[isub][0], sf[isub][1], sf[isub][2],
+                          sf[isub][3], B);
+            u8 sorig[16], srecon[16];
+            for (i32 i = 0; i < 4; i++)
+                for (i32 j = 0; j < 4; j++) sorig[i * 4 + j] = st.og(py + i, px + j);
+            candidate(st.qpd6, 4, B, pms[isub], sorig, 4, qout + isub * 16, srecon);
+            for (i32 i = 0; i < 4; i++)
+                std::memcpy(&st.rcon[(size_t)(py + i) * st.xszn + px],
+                            srecon + i * 4, 4);
+        }
+        return;
+    }
+    u8 orig[CTU * CTU], recon[CTU * CTU];
+    for (i32 i = 0; i < sz; i++)
+        for (i32 j = 0; j < sz; j++) orig[i * sz + j] = st.og(y + i, x + j);
+    ctx_slices(st, y, x, sz, top, left);
+    if (lay == 1) {
+        Borders B;
+        build_borders(sz, top, left, bll, blb, baa, bar, B);
+        candidate(st.qpd6, sz, B, pms[0], orig, sz, qout, recon);
+    } else {  // lay == 2: chained sub-TUs, same helper node_math uses
+        bool sf[4][4];
+        sub_flags(bll, blb, baa, bar, sf);
+        tusplit_mode(st.qpd6, sz, top, left, sf, pms[0], orig, qout, recon);
+    }
+    for (i32 i = 0; i < sz; i++)
+        std::memcpy(&st.rcon[(size_t)(y + i) * st.xszn + x], recon + i * sz, sz);
+}
+
+static void pack_cu(EncState& st, const PackRec& rec, i32 y, i32 x, i32 sz, int node,
+                    bool bll, bool blb, bool baa, bool bar) {
     const i32 mr = st.mrow(y), mc = 1 + x / 4;
     const bool gl = sz > st.mcu(mr, mc - 1);
     const bool ga = sz > st.mcu(mr - 1, mc);
@@ -1744,17 +1808,30 @@ static void pack_cu(EncState& st, const PackRec& rec, i32 y, i32 x, i32 sz, int 
     if (sz > MIN_CU && rec.lay[node] == 0) {
         put_split_cu(st.enc, st.ctxs, sz, 1, gl, ga);
         i32 h = sz / 2;
+        bool sf[4][4];
+        sub_flags(bll, blb, baa, bar, sf);
         for (int i = 0; i < 4; i++) {
             int child = (sz == CTU) ? 16 + i : (node - 16) * 4 + i;
-            pack_cu(st, rec, y + kSubOff[i][0] * h, x + kSubOff[i][1] * h, h, child);
+            pack_cu(st, rec, y + kSubOff[i][0] * h, x + kSubOff[i][1] * h, h,
+                    child, sf[i][0], sf[i][1], sf[i][2], sf[i][3]);
         }
         return;
     }
     const i32 pm = rec.pm[node];
-    const i32* qb = rec.qc + (sz == CTU ? 0
-                              : sz == 16 ? (size_t)(node - 16) * 256
-                                         : (size_t)(node >> 2) * 256
-                                               + (size_t)(node & 3) * 64);
+    i32 qbuf[CTU * CTU];
+    const i32* qb;
+    if (rec.qc) {
+        qb = rec.qc + (sz == CTU ? 0
+                       : sz == 16 ? (size_t)(node - 16) * 256
+                                  : (size_t)(node >> 2) * 256
+                                        + (size_t)(node & 3) * 64);
+    } else {
+        const i32 lay = rec.lay[node];
+        replay_cu(st, y, x, sz, lay,
+                  lay == 3 ? rec.pm4 + (size_t)node * 4 : rec.pm + node,
+                  bll, blb, baa, bar, qbuf);
+        qb = qbuf;
+    }
     put_split_cu(st.enc, st.ctxs, sz, 0, gl, ga);
     const i32 ntu = sz / 4;
     if (rec.lay[node] == 3) {
@@ -1787,16 +1864,22 @@ static void pack_cu(EncState& st, const PackRec& rec, i32 y, i32 x, i32 sz, int 
     }
 }
 
+// qc == nullptr -> decision-replay mode: img must be the original (unpadded)
+// pixels; quant levels are recomputed (replay_cu) and the recon plane is
+// maintained; rcon_out (optional) receives the padded recon plane.
 static i64 pack_stream(const i32* lay, const i32* pm, const i32* pm4,
-                       const i32* qc,
-                       i32 ysz, i32 xsz, i32 qpd6, u8* stream, i64 cap) {
+                       const i32* qc, const u8* img,
+                       i32 ysz, i32 xsz, i32 qpd6, u8* stream, i64 cap,
+                       u8* rcon_out) {
     EncState st;
     st.qpd6 = qpd6;
     st.ysz0 = ysz;
     st.xsz0 = xsz;
     st.yszn = (ysz + CTU - 1) / CTU * CTU;
     st.xszn = (xsz + CTU - 1) / CTU * CTU;
-    st.img = nullptr;
+    st.img = img;
+    if (!qc)  // zeros match the device canvas's masked substitutions
+        st.rcon.assign((size_t)st.yszn * st.xszn, 0);
     st.map_w = 1 + st.xszn / 4;
     st.map_cu_sz.assign((size_t)9 * st.map_w, CTU);
     st.map_pmode.assign((size_t)9 * st.map_w, 1);  // DC
@@ -1811,8 +1894,12 @@ static i64 pack_stream(const i32* lay, const i32* pm, const i32* pm4,
         st.ctu_y = r * CTU;
         for (i32 c = 0; c < Cc; c++) {
             const size_t k = (size_t)r * Cc + c;
-            PackRec rec{lay + k * 21, pm + k * 21, pm4 + k * 64, qc + k * 1024};
-            pack_cu(st, rec, r * CTU, c * CTU, CTU, 20);
+            PackRec rec{lay + k * 21, pm + k * 21, pm4 + k * 64,
+                        qc ? qc + k * 1024 : nullptr};
+            // CTU-level availability mirrors the device wavefront's
+            // structural rules (models/wavefront.py _make_front_core)
+            pack_cu(st, rec, r * CTU, c * CTU, CTU, 20,
+                    c > 0, false, r > 0, r > 0 && c + 1 < Cc);
             st.enc.terminate(r == R - 1 && c == Cc - 1);
             out.insert(out.end(), st.arena.begin(), st.arena.end());
             st.arena.clear();
@@ -1824,6 +1911,8 @@ static i64 pack_stream(const i32* lay, const i32* pm, const i32* pm4,
     out.insert(out.end(), st.arena.begin(), st.arena.end());
     if (cap && (i64)out.size() > cap) return -2;
     std::memcpy(stream, out.data(), out.size());
+    if (!qc && rcon_out)
+        std::memcpy(rcon_out, st.rcon.data(), (size_t)st.yszn * st.xszn);
     return (i64)out.size();
 }
 
@@ -2708,7 +2797,7 @@ long long hevce_stream_capacity(int ysz, int xsz) {
     return (long long)hevce::stream_capacity(yp, xp);
 }
 
-int hevce_version() { return 14; }
+int hevce_version() { return 15; }
 
 // pack a pre-decided CU forest (wavefront fast mode) into a compliant stream;
 // record layout documented at hevce::PackRec. Returns stream bytes or -2 if
@@ -2717,8 +2806,23 @@ long long hevce_pack(const int* lay, const int* pm, const int* pm4,
                      const int* qc,
                      int ysz, int xsz, int qpd6, uint8_t* stream_out,
                      long long cap) {
-    if (qpd6 < 0 || qpd6 > 4 || ysz <= 0 || xsz <= 0) return -1;
-    return hevce::pack_stream(lay, pm, pm4, qc, ysz, xsz, qpd6, stream_out, cap);
+    if (qpd6 < 0 || qpd6 > 4 || ysz <= 0 || xsz <= 0 || !qc) return -1;
+    return hevce::pack_stream(lay, pm, pm4, qc, nullptr, ysz, xsz, qpd6,
+                              stream_out, cap, nullptr);
+}
+
+// pack a pre-decided CU forest from DECISIONS ONLY (lay/pm/pm4 + the original
+// image): quant levels are recomputed on the host (bit-identical candidate
+// math — see hevce::replay_cu), so the device fast path need not transfer
+// them. rcon_out (optional, padded dims) receives the reconstruction the
+// stream decodes to. Returns stream bytes, -2 if cap is too small.
+long long hevce_pack_img(const int* lay, const int* pm, const int* pm4,
+                         const uint8_t* img, int ysz, int xsz, int qpd6,
+                         uint8_t* stream_out, long long cap,
+                         uint8_t* rcon_out) {
+    if (qpd6 < 0 || qpd6 > 4 || ysz <= 0 || xsz <= 0 || !img) return -1;
+    return hevce::pack_stream(lay, pm, pm4, nullptr, img, ysz, xsz, qpd6,
+                              stream_out, cap, rcon_out);
 }
 
 // --- lockstep batch API -----------------------------------------------------

@@ -531,6 +531,7 @@ _REC_LAY = slice(0, 21)
 _REC_PM = slice(21, 42)
 _REC_PM4 = slice(42, 106)
 _REC_QC8 = slice(106, 1130)
+_REC_DEC = 106                    # decision-only (lean) record length
 _REC_LEN = 1130
 
 
@@ -551,7 +552,7 @@ def _host_cksum(flat):
 
 @functools.lru_cache(maxsize=None)
 def _slice_runner_cache(qpd6: int, R: int, Cc: int, want_recon: bool,
-                        mesh=None):
+                        mesh=None, fetch_qc: bool = True):
     """Whole-slice runner: device-side skew of the raster input tiles, one
     lax.scan over front-major columns with a 3-column recon window + pmode
     edge carry (see _make_front_core for why), then device-side UNSKEW and
@@ -561,20 +562,26 @@ def _slice_runner_cache(qpd6: int, R: int, Cc: int, want_recon: bool,
     ship exactly the useful payload:
       * upload: raster (B, R, Cc, 32, 32) uint8 tiles (the skewed layout has
         D*R/(R*Cc) ~ 2.25x padding waste; skewing costs one device transpose);
-      * download: ONE int8 record buffer (B, R, Cc, 1130) = [lay 21 | pm 21 |
-        pm4 64 | qc8 1024] per CTU (quant levels clipped to int8; a per-image
-        escape flag in the sideband marks the rare |level| > 127 images, whose
-        exact int16 quants are fetched separately on demand), plus a tiny
-        (B, 3) int32 sideband [record checksum, escape flag, recon checksum].
-        Checksums are position-weighted wrap-around int32 sums computed on
-        device and ALWAYS verified host-side in _finish_batch — the axon
-        tunnel has corrupted large transfers before (round-1 VERIFICATION.md),
-        and a corrupted qc would otherwise pack into a well-formed stream
-        that silently decodes to the wrong image.
+      * download, DEFAULT (fetch_qc=False, round 3): ONE int8 buffer
+        (B, R*Cc*106 + 4) = the per-CTU DECISION records [lay 21 | pm 21 |
+        pm4 64] plus a 4-byte little-endian position-weighted int32 checksum
+        tail. The quant levels are NOT transferred at all — the host pack
+        recomputes them bit-identically from the decisions + original image
+        (runtime/native.pack_forest_img; csrc replay_cu), cutting the fetch
+        ~10x (1130 -> ~106 B/CTU). The recon/quant compose work in the scan
+        is dead code under this output set and XLA eliminates it.
+      * download, fetch_qc=True (kept for A/B + the record-format tests):
+        the full (B, R, Cc, 1130) [lay|pm|pm4|qc8] records with an int16
+        escape sideband and optional recon plane, as in round 2.
+    Checksums are ALWAYS verified host-side in _finish_batch — the axon
+    tunnel has corrupted large transfers before (round-1 VERIFICATION.md),
+    and corrupted decisions would otherwise pack into a well-formed stream
+    that silently decodes to the wrong image.
 
     Signature: (O (B, R, Cc, 32, 32) uint8) ->
-      (buf (B, R, Cc, 1130) i8, side (B, 3) i32,
-       qc16 (B, R, Cc, 1024) i16[, S (B, yp, xp) u8 when want_recon])
+      lean: (B, R*Cc*106 + 4) i8
+      full: (buf (B, R, Cc, 1130) i8, side (B, 4) i32,
+             qc16 (B, R, Cc, 1024) i16[, S (B, yp, xp) u8 when want_recon])
     """
     import jax
     import jax.numpy as jnp
@@ -598,19 +605,30 @@ def _slice_runner_cache(qpd6: int, R: int, Cc: int, want_recon: bool,
             S_col, lay_col, pm_col, pm4_col, qc_col, pme_col = core(
                 W, PME, o_col, d, jnp.int32(Cc))
             W = jnp.concatenate([W[:, :, 1:], S_col[:, :, None]], axis=2)
-            return (W, pme_col, d + 1), (S_col.astype(jnp.uint8),
-                                         lay_col.astype(jnp.int8),
-                                         pm_col.astype(jnp.int8),
-                                         pm4_col.astype(jnp.int8),
-                                         qc_col.astype(jnp.int16))
+            ys = (lay_col.astype(jnp.int8), pm_col.astype(jnp.int8),
+                  pm4_col.astype(jnp.int8))
+            if fetch_qc:
+                ys = (S_col.astype(jnp.uint8),) + ys + (qc_col.astype(jnp.int16),)
+            return (W, pme_col, d + 1), ys
 
         _, ys = lax.scan(body, (W0, P0, jnp.int32(0)), Osk)
-        S, lay, pm, pm4, qc16 = ys
 
         def unskew(a):                    # (D, B, R, ...) -> (B, R, Cc, ...)
             rows = [a[2 * r:2 * r + Cc, :, r] for r in range(R)]
             return jnp.moveaxis(jnp.stack(rows, axis=0), 2, 0)
 
+        if not fetch_qc:
+            lay, pm, pm4 = ys
+            lay_u, pm_u, pm4_u = unskew(lay), unskew(pm), unskew(pm4)
+            n = R * Cc * _REC_DEC
+            rec = jnp.concatenate([lay_u, pm_u, pm4_u], axis=-1).reshape(B, n)
+            w = jnp.asarray(_cksum_weights(n))
+            ck = (rec.astype(jnp.int32) * w).sum(-1)          # (B,)
+            tail = jnp.stack([(ck >> (8 * k)) & 0xFF for k in range(4)],
+                             axis=-1).astype(jnp.int8)
+            return jnp.concatenate([rec, tail], axis=-1)
+
+        S, lay, pm, pm4, qc16 = ys
         lay_u, pm_u, pm4_u = unskew(lay), unskew(pm), unskew(pm4)
         qc16_u = unskew(qc16)
         esc = ((qc16_u < -128) | (qc16_u > 127)).reshape(B, -1).any(-1)
@@ -641,6 +659,8 @@ def _slice_runner_cache(qpd6: int, R: int, Cc: int, want_recon: bool,
     # 'img' mesh axis — XLA inserts no collectives
     from jax.sharding import NamedSharding, PartitionSpec
     sh = NamedSharding(mesh, PartitionSpec('img'))
+    if not fetch_qc:
+        return jax.jit(run, in_shardings=(sh,), out_shardings=sh)
     n_out = 4 if want_recon else 3
     return jax.jit(run, in_shardings=(sh,), out_shardings=(sh,) * n_out)
 
@@ -662,10 +682,13 @@ def _orig_tiles_raster(imgs, yp, xp):
     return O
 
 
-def _dispatch_batch(images, qpd6: int, mesh=None, want_recon=True):
+def _dispatch_batch(images, qpd6: int, mesh=None, want_recon=True,
+                    fetch_qc=False):
     """Upload + dispatch the slice runner for one same-shaped batch (async —
     JAX queues the execution; nothing blocks). Returns (out, meta). With a
-    mesh, the batch axis is sharded over its 'img' axis (B must divide)."""
+    mesh, the batch axis is sharded over its 'img' axis (B must divide).
+    fetch_qc=False (default): lean decision-only records; the host pack
+    recomputes quant levels (and the recon) from them + the images."""
     import jax.numpy as jnp
 
     images = [native._clip_dims(im) for im in images]
@@ -678,15 +701,54 @@ def _dispatch_batch(images, qpd6: int, mesh=None, want_recon=True):
     yp, xp = -(-ysz // CTU) * CTU, -(-xsz // CTU) * CTU
     R, Cc = yp // CTU, xp // CTU
     O = jnp.asarray(_orig_tiles_raster(images, yp, xp))
-    run = _slice_runner_cache(qpd6, R, Cc, want_recon, mesh)
+    run = _slice_runner_cache(qpd6, R, Cc, want_recon, mesh, fetch_qc)
     out = run(O)
-    return out, (len(images), qpd6, ysz, xsz, yp, xp, R, Cc)
+    return out, (images, qpd6, ysz, xsz, yp, xp, R, Cc)
 
 
-def _finish_batch(out, meta, want_recon, timer):
+def _fetch_lean(out, meta, timer):
+    """Fetch one lean-dispatched batch's decision records (ONE device->host
+    array round trip) and verify the embedded checksum tail. Returns the
+    (B, R, Cc, 106) int8 record array."""
+    images, qpd6, ysz, xsz, yp, xp, R, Cc = meta
+    B = len(images)
+    with timer.phase("fetch"):
+        flat = np.asarray(out)                       # (B, n + 4) int8
+    n = R * Cc * _REC_DEC
+    rec = flat[:, :n]
+    t = flat[:, n:].astype(np.int64) & 0xFF
+    ck_dev = ((t[:, 0] | (t[:, 1] << 8) | (t[:, 2] << 16) | (t[:, 3] << 24))
+              .astype(np.uint32).view(np.int32))
+    got = _host_cksum(rec)
+    if not np.array_equal(got, ck_dev):
+        raise IOError("fast-mode record transfer checksum mismatch "
+                      f"(tunnel corruption): {got} != {ck_dev}")
+    return rec.reshape(B, R, Cc, _REC_DEC)
+
+
+def _pack_lean(rec, meta, want_recon, timer):
+    """Host pack from decision records: recompute quant levels + recon from
+    the original images (native.pack_forest_img) and emit the streams."""
+    images, qpd6, ysz, xsz, yp, xp, R, Cc = meta
+    streams, recons = [], []
+    with timer.phase("pack"):
+        for b in range(len(images)):
+            s, r = native.pack_forest_img(
+                rec[b, :, :, _REC_LAY], rec[b, :, :, _REC_PM],
+                rec[b, :, :, _REC_PM4], images[b], qpd6)
+            streams.append(s)
+            recons.append(r if want_recon else None)
+    return streams, recons
+
+
+def _finish_batch(out, meta, want_recon, timer, fetch_qc=False):
     """Fetch one dispatched batch's results, verify transfer checksums, and
-    pack streams on the host. want_recon must match the dispatch."""
-    B, qpd6, ysz, xsz, yp, xp, R, Cc = meta
+    pack streams on the host. fetch_qc must match the dispatch."""
+    if not fetch_qc:
+        rec = _fetch_lean(out, meta, timer)
+        return _pack_lean(rec, meta, want_recon, timer)
+    images, qpd6, ysz, xsz, yp, xp, R, Cc = meta
+    B = len(images)
     with timer.phase("fetch"):
         side = np.asarray(out[1])
         buf = np.asarray(out[0])
@@ -727,7 +789,7 @@ def _finish_batch(out, meta, want_recon, timer):
 
 
 def encode_batch_fast(images, qpd6: int, timer=None, want_recon=True,
-                      mesh=None):
+                      mesh=None, fetch_qc=False):
     """Wavefront fast mode: encode B same-shaped uint8 grayscale images.
 
     Returns (streams, recons) like lockstep.encode_batch. Streams are
@@ -737,8 +799,15 @@ def encode_batch_fast(images, qpd6: int, timer=None, want_recon=True,
     last-XY length) instead of live-CABAC trial rates. All three partition
     layouts (single TU, TU-split, NxN) are searched. The returned recon is
     exactly what a decoder reconstructs (verified in tests against the
-    independent decoder); want_recon=False skips its device->host transfer
-    (a major cost on tunneled devices) and returns None recons.
+    independent decoder); want_recon=False returns None recons.
+
+    fetch_qc=False (default, round 3): only the ~106 B/CTU decision records
+    cross the device->host link; the host pack recomputes the quant levels
+    and recon bit-identically from them + the original image (csrc
+    replay_cu). fetch_qc=True ships the full 1130 B/CTU records incl. the
+    int8 quant planes + the device recon, as in round 2 (the two paths
+    produce identical streams/recons — tested — so this is an A/B and
+    format-compat knob).
 
     timer: optional utils.tracing.PhaseTimer — accumulates device_fronts /
     fetch / pack phases (same reporting surface as lockstep.encode_batch).
@@ -750,22 +819,30 @@ def encode_batch_fast(images, qpd6: int, timer=None, want_recon=True,
         from hevce_tpu.utils.tracing import PhaseTimer
         timer = PhaseTimer()
     with timer.phase("device_fronts"):
-        out, meta = _dispatch_batch(images, qpd6, mesh, want_recon)
-        # block_until_ready can return early on the tunneled axon backend
-        # (CLAUDE.md) — a real fetch of the tiny sideband is the only
-        # reliable sync, so the device/fetch phase split stays honest
-        np.asarray(out[1])
-    return _finish_batch(out, meta, want_recon, timer)
+        out, meta = _dispatch_batch(images, qpd6, mesh, want_recon, fetch_qc)
+        if fetch_qc:
+            # block_until_ready can return early on the tunneled axon backend
+            # (CLAUDE.md) — a real fetch of the tiny sideband is the only
+            # reliable sync, so the device/fetch phase split stays honest.
+            # The lean path has no tiny sideband: its single-array fetch
+            # includes the device wait (the split is folded into 'fetch').
+            np.asarray(out[1])
+    return _finish_batch(out, meta, want_recon, timer, fetch_qc)
 
 
 def encode_many_fast(images, qpd6: int, batch: int = 8, timer=None,
-                     want_recon=True, mesh=None):
+                     want_recon=True, mesh=None, fetch_qc=False):
     """Throughput-oriented fast-mode encode of a mixed-shape image list.
 
-    Groups images by shape into batches of `batch`, and PIPELINES the
-    batches: batch k+1's device slice is dispatched (async) before batch k's
-    results are fetched and packed, so device compute overlaps the
-    fetch/pack of the previous batch. Returns (streams, recons) in input
+    Groups images by shape into batches of `batch` and PIPELINES the
+    batches for a link that services requests IN ORDER (the tunneled-TPU
+    reality; round-3 measurement): batch k's small record fetch is issued
+    BEFORE batch k+1 is dispatched — otherwise the in-order link would
+    service the fetch only after every queued upload+execute, pushing all
+    host packing to the end — and the host pack of batch k (the quant
+    recompute, see _pack_lean) then runs while the link uploads+executes
+    batch k+1. On a co-located device the same order still overlaps pack
+    with compute via async dispatch. Returns (streams, recons) in input
     order; recons entries are None when want_recon=False.
 
     mesh: optional jax.sharding.Mesh with an 'img' axis, forwarded to each
@@ -790,15 +867,8 @@ def encode_many_fast(images, qpd6: int, batch: int = 8, timer=None,
         return [], []
     streams = [None] * len(images)
     recons = [None] * len(images)
-    pending = None                   # (out, meta, index list, n_real)
 
-    def finish(p):
-        p_out, p_meta, p_idx, n_real = p
-        s, r = _finish_batch(p_out, p_meta, want_recon, timer)
-        for j, i in enumerate(p_idx[:n_real]):
-            streams[i], recons[i] = s[j], r[j]
-
-    for idx in batches:
+    def dispatch(idx):
         batch_imgs = [images[i] for i in idx]
         n_real = len(batch_imgs)
         if mesh is not None:
@@ -806,11 +876,41 @@ def encode_many_fast(images, qpd6: int, batch: int = 8, timer=None,
             pad = (-n_real) % msize
             batch_imgs = batch_imgs + [batch_imgs[-1]] * pad
         with timer.phase("dispatch"):
-            out, meta = _dispatch_batch(batch_imgs, qpd6, mesh, want_recon)
-        if pending is not None:
-            finish(pending)
-        pending = (out, meta, idx, n_real)
-    finish(pending)
+            out, meta = _dispatch_batch(batch_imgs, qpd6, mesh, want_recon,
+                                        fetch_qc)
+        return out, meta, idx, n_real
+
+    def place(p_idx, n_real, s, r):
+        for j, i in enumerate(p_idx[:n_real]):
+            streams[i], recons[i] = s[j], r[j]
+
+    if fetch_qc:
+        # full-record mode: fetch+pack are one unit (escape sidebands);
+        # simple dispatch-ahead pipelining as in round 2
+        pending = None
+        for bi, idx in enumerate(batches):
+            p = dispatch(idx)
+            if pending is not None:
+                out, meta, p_idx, n_real = pending
+                s, r = _finish_batch(out, meta, want_recon, timer, True)
+                place(p_idx, n_real, s, r)
+            pending = p
+        out, meta, p_idx, n_real = pending
+        s, r = _finish_batch(out, meta, want_recon, timer, True)
+        place(p_idx, n_real, s, r)
+        return streams, recons
+
+    pending = dispatch(batches[0])
+    for idx in batches[1:]:
+        out, meta, p_idx, n_real = pending
+        rec = _fetch_lean(out, meta, timer)      # before the next dispatch
+        pending = dispatch(idx)
+        s, r = _pack_lean(rec, meta, want_recon, timer)
+        place(p_idx, n_real, s, r)
+    out, meta, p_idx, n_real = pending
+    rec = _fetch_lean(out, meta, timer)
+    s, r = _pack_lean(rec, meta, want_recon, timer)
+    place(p_idx, n_real, s, r)
     return streams, recons
 
 
@@ -859,15 +959,8 @@ def encode_many_exact(images, qpd6: int, nthreads: int = 0, timer=None,
                 [images[i] for i in idx], qpd6, want_recon=False)
         pending.append((out, meta, idx))
     for out, meta, idx in pending:
-        B, q, ysz, xsz, yp, xp, R, Cc = meta
-        with timer.phase("fetch"):
-            side = np.asarray(out[1])
-            buf = np.asarray(out[0])
-        got = _host_cksum(buf.reshape(B, -1))
-        if not np.array_equal(got, side[:, 0]):
-            raise IOError("fast-mode record transfer checksum mismatch "
-                          f"(tunnel corruption): {got} != {side[:, 0]}")
-        hints = np.ascontiguousarray(buf[:, :, :, :106])
+        # lean decision records (checksum-verified) ARE the hint payload
+        hints = np.ascontiguousarray(_fetch_lean(out, meta, timer))
         with timer.phase("host_rdo"):
             s, r = native.encode_many_native(
                 [images[i] for i in idx], qpd6, nthreads, hints=hints)

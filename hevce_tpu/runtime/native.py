@@ -141,6 +141,49 @@ def pack_forest(lay, pm, pm4, qc, ysz: int, xsz: int, qpd6: int) -> bytes:
     return bytes(buf[:n])
 
 
+def pack_forest_img(lay, pm, pm4, img: np.ndarray, qpd6: int):
+    """Pack a pre-decided CU forest from DECISIONS ONLY: quant levels are
+    recomputed on the host from (lay, pm, pm4) + the original image with the
+    same deterministic integer candidate pipeline the device ran (csrc
+    replay_cu) — bit-identical levels, so the device fast path only ships
+    ~106 B/CTU of decisions instead of the 1 KB/CTU quant planes (the
+    dominant device->host cost on tunneled TPUs, ROADMAP round-3).
+
+    Returns (stream bytes, recon ndarray with CTU-padded dims) — the recon
+    equals what a decoder reconstructs from the stream."""
+    lib = _load()
+    if not hasattr(lib, "hevce_pack_img"):
+        raise RuntimeError("stale libhevce_host.so: rebuild via tools/build_native.py")
+    if not hasattr(lib.hevce_pack_img, "_bound"):
+        lib.hevce_pack_img.restype = ctypes.c_longlong
+        lib.hevce_pack_img.argtypes = [ctypes.POINTER(ctypes.c_int32)] * 3 + [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.hevce_stream_capacity.restype = ctypes.c_longlong
+        lib.hevce_stream_capacity.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.hevce_pack_img._bound = True
+    img = _clip_dims(img)
+    ysz, xsz = img.shape
+    yp, xp = -(-ysz // 32) * 32, -(-xsz // 32) * 32
+    cap = int(lib.hevce_stream_capacity(ysz, xsz))
+    buf = np.empty(cap, np.uint8)
+    rcon = np.empty((yp, xp), np.uint8)
+    arrs = [np.ascontiguousarray(a, np.int32).reshape(-1)
+            for a in (lay, pm, pm4)]
+    n = lib.hevce_pack_img(
+        *(a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs),
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ysz, xsz, qpd6,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_longlong(cap),
+        rcon.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if n <= 0:
+        raise ValueError(f"hevce_pack_img failed: {n}")
+    return bytes(buf[:n]), rcon
+
+
 def decode_stream(stream: bytes) -> np.ndarray:
     """Decode an .h265 stream produced by this encoder subset with the
     independent native decoder (spec-side arithmetic decoding + syntax

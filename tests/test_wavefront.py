@@ -85,29 +85,48 @@ def test_encode_many_fast_pipelined_matches_batches():
     assert s2 == streams and all(r is None for r in r2)
 
 
-def test_fast_mode_transfer_checksum_catches_corruption(monkeypatch):
+def test_fast_mode_lean_matches_full_records():
+    """The lean decision-only fetch (default) and the full qc-record fetch
+    must produce identical streams AND recons — the host replay (csrc
+    replay_cu) recomputes quant levels bit-identically to the device
+    compose, by the shared golden-validated candidate pipeline."""
+    from hevce_tpu.models import wavefront as wf
+    rng = np.random.default_rng(23)
+    noise = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+    yy, xx = np.mgrid[0:64, 0:96]
+    smooth = ((yy * 2 + xx) % 256).astype(np.uint8)
+    s_lean, r_lean = wf.encode_batch_fast([noise, smooth], 2)
+    s_full, r_full = wf.encode_batch_fast([noise, smooth], 2, fetch_qc=True)
+    assert s_lean == s_full
+    for rl, rf in zip(r_lean, r_full):
+        np.testing.assert_array_equal(rl, rf)
+
+
+@pytest.mark.parametrize("fetch_qc", [False, True])
+def test_fast_mode_transfer_checksum_catches_corruption(monkeypatch, fetch_qc):
     """Bit-flip injection: transfer integrity is DEFAULT-ON for the fast
-    path (round-2 verdict item 5) — a corrupted record buffer would
+    path (round-2 verdict item 5), on both the lean decision-record fetch
+    (round 3 default) and the full qc-record fetch — a corrupted buffer would
     otherwise pack into a well-formed stream that silently decodes to the
     wrong image (the axon tunnel has corrupted large transfers before)."""
     from hevce_tpu.models import wavefront as wf
     from hevce_tpu.utils.tracing import PhaseTimer
     rng = np.random.default_rng(3)
     img = rng.integers(0, 256, (32, 32)).astype(np.uint8)
-    out, meta = wf._dispatch_batch([img], 2, None, True)
+    out, meta = wf._dispatch_batch([img], 2, None, True, fetch_qc)
 
     real = np.asarray
 
     def corrupt(a, *args, **kw):
         h = real(a, *args, **kw)
-        if getattr(h, "dtype", None) == np.int8 and h.size > 1000:
+        if getattr(h, "dtype", None) == np.int8 and h.size > 100:
             h = h.copy()
-            h.reshape(-1)[123] ^= 1
+            h.reshape(-1)[42] ^= 1          # inside the record, not the tail
         return h
 
     monkeypatch.setattr(wf.np, "asarray", corrupt)
     with pytest.raises(IOError, match="checksum mismatch"):
-        wf._finish_batch(out, meta, True, PhaseTimer())
+        wf._finish_batch(out, meta, True, PhaseTimer(), fetch_qc)
 
 
 def test_fast_mode_int8_escape_fallback():
@@ -117,11 +136,12 @@ def test_fast_mode_int8_escape_fallback():
     # 2-pel checkerboard at qpd6=0 drives huge high-frequency coefficients
     yy, xx = np.mgrid[0:32, 0:32]
     img = (255 * ((yy // 2 + xx // 2) % 2)).astype(np.uint8)
-    out, meta = wf._dispatch_batch([img], 0, None, True)
+    out, meta = wf._dispatch_batch([img], 0, None, True, fetch_qc=True)
     side = np.asarray(out[1])
     assert side[0, 1] == 1, "expected an int8 escape on this content"
     s, r = wf._finish_batch(out, meta, True, __import__(
-        "hevce_tpu.utils.tracing", fromlist=["PhaseTimer"]).PhaseTimer())
+        "hevce_tpu.utils.tracing", fromlist=["PhaseTimer"]).PhaseTimer(),
+        fetch_qc=True)
     np.testing.assert_array_equal(decode_stream(s[0]), r[0])
 
 
