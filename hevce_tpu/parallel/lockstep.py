@@ -464,10 +464,14 @@ def encode_batch(images, qpd6: int, node_rates: bool = None, timer=None,
     node_rates: also compute step-2/3 trial rates on device (full Phase B
     data path; the Pallas CABAC scan kernel, 3.3M rates/s/chip marginal on
     v5e — the full node event incl. op generation runs ~0.21M).
-    Bit-exact either way. Default: ON when running on a TPU backend (device
-    rates + winner-only fetch cut per-event transfers ~600x), OFF on CPU
-    (the jnp scan fallback is slower than host trials). Override with the
-    HEVCE_NODE_RATES env var (0/1).
+    Bit-exact either way. Default: OFF — the round-3 end-to-end tunnel A/B
+    (two Kodak crops, qpd6=2, one host core) measured lockstep at 399 s
+    with host trial rates and 433 s with device rates, while the host
+    engine alone took 1.06 s: the ~160 ms/event tunnel RTT dominates both
+    arms, so the production exact path is the host engine (optionally
+    device-HINTED via wavefront.encode_many_exact), and device trial rates
+    are an opt-in for co-located chips (HEVCE_NODE_RATES=1 or
+    node_rates=True).
 
     pipeline: split the batch into two interleaved half-batches so one
     half's device step is dispatched while the other half's arbiters run
@@ -492,11 +496,7 @@ def encode_batch(images, qpd6: int, node_rates: bool = None, timer=None,
         assert len(images) % mesh.devices.size == 0, \
             "batch must be a multiple of the mesh axis size"
     if node_rates is None:
-        env = os.environ.get("HEVCE_NODE_RATES")
-        if env is not None:
-            node_rates = env == "1"
-        else:
-            node_rates = jax.default_backend() == "tpu"
+        node_rates = os.environ.get("HEVCE_NODE_RATES") == "1"
     if pipeline is None:
         pipeline = os.environ.get("HEVCE_PIPELINE", "0") == "1"
     verify = os.environ.get("HEVCE_VERIFY_TRANSFERS", "0") == "1"
