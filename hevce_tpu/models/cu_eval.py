@@ -31,13 +31,19 @@ from hevce_tpu.ops import intra, quant, rdcost, xform
 
 
 def _pipeline(sz, qpd6, pred, blk_orig):
-    """residual -> fwd transform -> RDOQ -> dequant -> inv transform -> recon."""
-    resid = blk_orig[..., None, :, :].astype(jnp.int32) - pred
+    """residual -> fwd transform -> RDOQ -> dequant -> inv transform -> recon.
+
+    Dtype discipline (the dense eval is HBM-bandwidth-bound on TPU): pred and
+    recon are uint8 pixels, residual/levels/dequant/inv-transform are int16
+    (all clip16-bounded), only the transform accumulators and the RDOQ cost
+    arithmetic run in int32 — bit-identical to the all-int32 form."""
+    resid = (blk_orig[..., None, :, :].astype(jnp.int16)
+             - pred.astype(jnp.int16))
     coef = xform.forward_transform(sz, resid)
     q = quant.quantize(sz, qpd6, coef)
     dq = quant.dequantize(sz, qpd6, q)
     r = xform.inverse_transform(sz, dq)
-    recon = jnp.clip(r + pred, 0, 255)
+    recon = jnp.clip(r.astype(jnp.int32) + pred, 0, 255).astype(jnp.uint8)
     return q, recon
 
 
@@ -72,7 +78,7 @@ def eval_tusplit(sz: int, qpd6: int, ctx_top, ctx_left, flags, blk_orig):
     ]
     offs = [(0, 0), (0, h), (h, 0), (h, h)]
 
-    canvas = jnp.zeros(bshape + (35, sz, sz), jnp.int32)
+    canvas = jnp.zeros(bshape + (35, sz, sz), jnp.uint8)
     quants = []
 
     def bc(x):  # broadcast a shared border piece over the mode axis

@@ -59,12 +59,6 @@ from hevce_tpu.runtime import native
 CTU = 32
 MODES = 35
 DC = 1
-
-# CTU-walk scan unrolling (experiment knobs; see _make_front_core docstring —
-# the per-iteration while-loop plumbing, not math, dominates device time)
-import os as _os
-_LEAF_UNROLL = int(_os.environ.get("HEVCE_LEAF_UNROLL", "1"))
-_QUAD_UNROLL = int(_os.environ.get("HEVCE_QUAD_UNROLL", "1"))
 # per-layout header-bit constants (1 bit per context bin): a non-split CU
 # writes split_cu (sz>=16) or part_size (sz==8) [1] + UV pmode [1] + 2x UV
 # cbf [2] + TU-split flag [1, layouts 1/2 only] + Y cbf [1 per TU]. The
@@ -245,16 +239,24 @@ def _eval_node(qpd6, A, orig, fl, pml, pma, y0, x0, sz, return_sub0=False):
     lay = jnp.where(sel < MODES, 1, 2)
     pm = jnp.where(sel < MODES, sel, sel - MODES)
 
-    # winner selection by one-hot masked sums (no gathers)
+    # winner selection by one-hot masked sums (no gathers); the sums have a
+    # single nonzero term, so int16/uint8 accumulation is exact and keeps
+    # the big (B, 35, sz*sz) reads narrow
     B = costs.shape[0]
     nn = sz * sz
     iota = jnp.arange(MODES, dtype=jnp.int32)
-    oh1 = (iota[None, :] == sel[:, None]).astype(jnp.int32)
-    oh3 = (iota[None, :] == (sel[:, None] - MODES)).astype(jnp.int32)
-    quant = ((q1.reshape(B, MODES, nn) * oh1[:, :, None]).sum(1)
-             + (q4.reshape(B, MODES, nn) * oh3[:, :, None]).sum(1))
-    recon = ((r1.reshape(B, MODES, nn) * oh1[:, :, None]).sum(1)
-             + (r4.reshape(B, MODES, nn) * oh3[:, :, None]).sum(1))
+    oh1 = (iota[None, :] == sel[:, None])
+    oh3 = (iota[None, :] == (sel[:, None] - MODES))
+    o1q, o3q = oh1.astype(jnp.int16), oh3.astype(jnp.int16)
+    o1r, o3r = oh1.astype(jnp.uint8), oh3.astype(jnp.uint8)
+    quant = ((q1.reshape(B, MODES, nn) * o1q[:, :, None])
+             .sum(1, dtype=jnp.int16)
+             + (q4.reshape(B, MODES, nn) * o3q[:, :, None])
+             .sum(1, dtype=jnp.int16))
+    recon = ((r1.reshape(B, MODES, nn) * o1r[:, :, None])
+             .sum(1, dtype=jnp.uint8)
+             + (r4.reshape(B, MODES, nn) * o3r[:, :, None])
+             .sum(1, dtype=jnp.uint8))
     out = cost, lay, pm, quant, recon.reshape(B, sz, sz)
     if not return_sub0:
         return out
@@ -308,9 +310,11 @@ def _eval_nxn(qpd6, A, orig, fl8, pml, pma, pl_lo, pa_hi, y0, x0, sub0):
         sel = jnp.argmin(cost, axis=1).astype(jnp.int32)
         c = jnp.min(cost, axis=1)
         B = sel.shape[0]
-        oh = (iota[None, :] == sel[:, None]).astype(jnp.int32)
-        qw = (q.reshape(B, MODES, 16) * oh[:, :, None]).sum(1)
-        rw = (r.reshape(B, MODES, 16) * oh[:, :, None]).sum(1).reshape(B, 4, 4)
+        oh = (iota[None, :] == sel[:, None])
+        qw = (q.reshape(B, MODES, 16) * oh.astype(jnp.int16)[:, :, None]) \
+            .sum(1, dtype=jnp.int16)
+        rw = (r.reshape(B, MODES, 16) * oh.astype(jnp.uint8)[:, :, None]) \
+            .sum(1, dtype=jnp.uint8).reshape(B, 4, 4)
         local = lax.dynamic_update_slice(local, rw, (0, y + 1, x + 1))
         total = jnp.where(total > sat - c, sat, total + c)
         sub_pm.append(sel)
@@ -341,15 +345,18 @@ def _make_front_core(qpd6: int, R: int):
       * the rolling 3-column window (round 2): carrying whole skewed
         (B, R, D, ...) arrays and dynamic-slicing the d column made XLA
         spend ~80% of each front step on strided DMA;
-      * the CTU z-order walk runs as NESTED lax.scans — 4 quadrants x
-        (4 leaves + one 16-node decision) — over an augmented border canvas
-        A (lanes, 65, 65) with dynamic node offsets (round 3): the fully
-        unrolled walk traced the ~20-op/lane candidate pipeline 169 times
-        and XLA compile time exploded (>50 min on the axon service for one
-        Kodak shape); scanning traces the leaf body once. Decision order is
-        IDENTICAL to the unrolled form (leaf evals of quadrant q+1 see
-        quadrant q's committed 16-vs-leaves winner, as the packed stream
-        requires for decoder-recon consistency).
+      * the CTU z-order walk runs as ONE lax.scan over the 4 quadrants of
+        an augmented border canvas A (lanes, 65, 65); each quadrant slices
+        one dynamic (33, 33) window and walks its 4 leaves Python-unrolled
+        at STATIC window offsets (round 3): the rolled leaf-scan form spent
+        ~75% of device time on per-leaf dynamic-offset slice/update
+        plumbing (xplane), while fully unrolling BOTH loops made compile
+        explode (>50 min for one Kodak shape round 3 mid-round; the final
+        leaf=4/quad=4 variant compiled in 11 min but ran 40% SLOWER).
+        Decision order is IDENTICAL to the fully sequential form (leaf
+        evals of quadrant q+1 see quadrant q's committed 16-vs-leaves
+        winner, as the packed stream requires for decoder-recon
+        consistency).
     """
     import jax.numpy as jnp
     from jax import lax
@@ -382,11 +389,12 @@ def _make_front_core(qpd6: int, R: int):
         cleft = jnp.concatenate(
             [lcol, jnp.repeat(lcol[:, :, CTU - 1:], CTU, axis=2)], axis=2)
 
-        # flatten (B, R) -> lanes
+        # flatten (B, R) -> lanes; pixels stay uint8 end-to-end (the dense
+        # eval is bandwidth-bound; consumers upcast locally)
         BR = Bb * R
         ctop = ctop.reshape(BR, 1 + 2 * CTU)
         cleft = cleft.reshape(BR, 2 * CTU)
-        orig = orig_t.reshape(BR, CTU, CTU).astype(jnp.int32)  # O is uint8
+        orig = orig_t.reshape(BR, CTU, CTU)
         bll = jnp.tile(cc > 0, Bb)
         blb = jnp.zeros_like(bll)
         baa = jnp.tile(rr > 0, Bb)
@@ -395,7 +403,7 @@ def _make_front_core(qpd6: int, R: int):
 
         # augmented border canvas: row 0 / col 0 = outside-CTU context,
         # interior filled with committed recon as the walk proceeds
-        A = jnp.zeros((BR, 65, 65), jnp.int32)
+        A = jnp.zeros((BR, 65, 65), jnp.uint8)
         A = A.at[:, 0, :].set(ctop)
         A = A.at[:, 1:, 0].set(cleft)
         # augmented pmode map at 4-pel granularity: row 0 = DC (the
@@ -426,59 +434,73 @@ def _make_front_core(qpd6: int, R: int):
             qpd6, jnp.zeros((BR,), jnp.int32),
             jnp.full((BR,), SPLIT_FLAG_BITS, jnp.int32))
 
-        def leaf_body(carry, xs):
-            Ac, Pc, lsum, y16, x16 = carry
-            fl, dy, dx = xs
-            y8, x8 = y16 + 8 * dy, x16 + 8 * dx
-            cy, cx = y8 // 4, x8 // 4
-            pml_n = _pix(Pc, cy + 1, cx)
-            pma_n = _pix(Pc, cy, cx + 1)
-            (c12, la12, p12, qb12, rc12), sub0 = _eval_node(
-                qpd6, Ac, orig, fl, pml_n, pma_n, y8, x8, 8, return_sub0=True)
-            pl_lo = _pix(Pc, cy + 2, cx)
-            pa_hi = _pix(Pc, cy, cx + 2)
-            cN, pm4_i, qbN, rcN = _eval_nxn(
-                qpd6, Ac, orig, fl, pml_n, pma_n, pl_lo, pa_hi, y8, x8, sub0)
-            nxn = cN <= c12            # tie -> NxN (reference tries it last)
-            c = jnp.where(nxn, cN, c12)
-            la = jnp.where(nxn, 3, la12)
-            qb = jnp.where(nxn[:, None], qbN, qb12)
-            rc = jnp.where(nxn[:, None, None], rcN, rc12)
-            Ac = lax.dynamic_update_slice(Ac, rc, (0, y8 + 1, x8 + 1))
-            pm_blk = jnp.where(nxn[:, None, None],
-                               pm4_i.reshape(-1, 2, 2),
-                               p12[:, None, None])
-            Pc = lax.dynamic_update_slice(Pc, pm_blk, (0, cy + 1, cx + 1))
-            return (Ac, Pc, sat_add(lsum, c), y16, x16), (la, p12, pm4_i, qb)
-
         def quad_body(carry, xs):
+            # ONE dynamic window slice per quadrant (canvas / orig / pmode
+            # map), all 4 leaf evals Python-unrolled at STATIC offsets
+            # inside the windows, ONE dynamic commit back. The rolled
+            # leaf-scan form spent ~75% of device time on per-iteration
+            # dynamic-offset slice/update plumbing (round-3 xplane profile:
+            # the math itself is microseconds; unrolling alone did not help
+            # — the offsets stayed traced), so the windows are what make
+            # the leaf walk static.
             Ac, Pc = carry
             lf, qf, dy, dx = xs
             y16, x16 = 16 * dy, 16 * dx
-            (Ac, Pc, lsum, _, _), leaf_ys = lax.scan(
-                leaf_body, (Ac, Pc, jnp.zeros((BR,), jnp.int32), y16, x16),
-                (lf, off_y, off_x), unroll=_LEAF_UNROLL)
             cy, cx = y16 // 4, x16 // 4
-            pml_n = _pix(Pc, cy + 1, cx)
-            pma_n = _pix(Pc, cy, cx + 1)
+            WQ = lax.dynamic_slice(Ac, (0, y16, x16), (BR, 33, 33))
+            OQ = lax.dynamic_slice(orig, (0, y16, x16), (BR, 16, 16))
+            PW = lax.dynamic_slice(Pc, (0, cy, cx), (BR, 5, 5))
+
+            lsum = jnp.zeros((BR,), jnp.int32)
+            leaf_la, leaf_pm, leaf_pm4, leaf_qb = [], [], [], []
+            for li, (ldy, ldx) in enumerate(_SUB):
+                y8, x8 = 8 * ldy, 8 * ldx            # static, window-local
+                lcy, lcx = y8 // 4, x8 // 4
+                pml_n = _pix(PW, lcy + 1, lcx)
+                pma_n = _pix(PW, lcy, lcx + 1)
+                (c12, la12, p12, qb12, rc12), sub0 = _eval_node(
+                    qpd6, WQ, OQ, lf[li], pml_n, pma_n, y8, x8, 8,
+                    return_sub0=True)
+                pl_lo = _pix(PW, lcy + 2, lcx)
+                pa_hi = _pix(PW, lcy, lcx + 2)
+                cN, pm4_i, qbN, rcN = _eval_nxn(
+                    qpd6, WQ, OQ, lf[li], pml_n, pma_n, pl_lo, pa_hi,
+                    y8, x8, sub0)
+                nxn = cN <= c12        # tie -> NxN (reference tries it last)
+                c = jnp.where(nxn, cN, c12)
+                leaf_la.append(jnp.where(nxn, 3, la12))
+                leaf_pm.append(p12)
+                leaf_pm4.append(pm4_i)
+                leaf_qb.append(jnp.where(nxn[:, None], qbN, qb12))
+                rc = jnp.where(nxn[:, None, None], rcN, rc12)
+                WQ = WQ.at[:, y8 + 1:y8 + 9, x8 + 1:x8 + 9].set(rc)
+                pm_blk = jnp.where(nxn[:, None, None],
+                                   pm4_i.reshape(-1, 2, 2),
+                                   p12[:, None, None])
+                PW = PW.at[:, lcy + 1:lcy + 3, lcx + 1:lcx + 3].set(pm_blk)
+                lsum = sat_add(lsum, c)
+            leaf_ys = (jnp.stack(leaf_la), jnp.stack(leaf_pm),
+                       jnp.stack(leaf_pm4), jnp.stack(leaf_qb))
+
+            # 16x16 alternative reads only the window's context row/col,
+            # which the leaf commits never touch
+            pml_n = _pix(PW, 1, 0)
+            pma_n = _pix(PW, 0, 1)
             c, la, p, qb, rc = _eval_node(
-                qpd6, Ac, orig, qf, pml_n, pma_n, y16, x16, 16)
+                qpd6, WQ, OQ, qf, pml_n, pma_n, 0, 0, 16)
             split_c = sat_add(lsum, split_bit)
             own = c < split_c
             cost_q = jnp.where(own, c, split_c)
-            cur = lax.dynamic_slice(Ac, (0, y16 + 1, x16 + 1), (BR, 16, 16))
-            Ac = lax.dynamic_update_slice(
-                Ac, jnp.where(own[:, None, None], rc, cur),
-                (0, y16 + 1, x16 + 1))
-            curP = lax.dynamic_slice(Pc, (0, cy + 1, cx + 1), (BR, 4, 4))
-            Pc = lax.dynamic_update_slice(
-                Pc, jnp.where(own[:, None, None], p[:, None, None], curP),
-                (0, cy + 1, cx + 1))
+            new16 = jnp.where(own[:, None, None], rc, WQ[:, 1:17, 1:17])
+            Ac = lax.dynamic_update_slice(Ac, new16, (0, y16 + 1, x16 + 1))
+            newP = jnp.where(own[:, None, None], p[:, None, None],
+                             PW[:, 1:5, 1:5])
+            Pc = lax.dynamic_update_slice(Pc, newP, (0, cy + 1, cx + 1))
             la16 = jnp.where(own, la, 0)
             return (Ac, Pc), (leaf_ys, la16, p, qb, cost_q)
 
         (A, P), (leaf_ys, la16, pm16, q16, cost16) = lax.scan(
-            quad_body, (A, P), (LF, QF, off_y, off_x), unroll=_QUAD_UNROLL)
+            quad_body, (A, P), (LF, QF, off_y, off_x))
         leaf_la, leaf_pm, leaf_pm4, leaf_qb = leaf_ys   # (4, 4, BR, ...)
 
         fl32 = jnp.stack(ctu_fl, -1)
@@ -603,7 +625,7 @@ def _slice_runner_cache(qpd6: int, R: int, Cc: int, want_recon: bool,
                                   (0, 0), (0, 0))) for r in range(R)]
         Osk = jnp.moveaxis(jnp.stack(cols, axis=2), 1, 0)  # (D, B, R, 32, 32)
 
-        W0 = jnp.zeros((B, R, 3, CTU, CTU), jnp.int32)
+        W0 = jnp.zeros((B, R, 3, CTU, CTU), jnp.uint8)
         P0 = jnp.zeros((B, R, 8), jnp.int32)
 
         def body(carry, o_col):

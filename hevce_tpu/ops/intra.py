@@ -252,7 +252,10 @@ def _closed_form_rows(sz, ang, S0, S1, S10, S26):
     out = out.at[..., 1, :, :].set(_dc_block(sz, S1))
     out = out.at[..., C.PMODE_HOR, :, :].set(_hor_block(sz, S10))
     out = out.at[..., C.PMODE_VER, :, :].set(_ver_block(sz, S26))
-    return out
+    # predictions are pixels in [0, 255]: ship them as uint8 — the candidate
+    # pipeline is HBM-bandwidth-bound on TPU, so every live (..., 35, sz, sz)
+    # tensor pays 4x in i32 (consumers upcast locally where arithmetic needs it)
+    return out.astype(jnp.uint8)
 
 
 def predict_all_modes(sz: int, S: jnp.ndarray) -> jnp.ndarray:

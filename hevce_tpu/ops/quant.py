@@ -20,6 +20,7 @@ def estimate_coeff_rate(level: jnp.ndarray) -> jnp.ndarray:
     For level >= 6 the reference's subtract-powers loop computes
     i = floor(log2(level-6+1)); rate = 92000 + ((4 + 2*i) << 15).
     """
+    from jax import lax
     lvl = level.astype(jnp.int32)
     # 6-entry table as unrolled selects: a jnp.take here lowers to a serial
     # per-element kCustom gather on TPU (measured ~0.5 GB/s; it dominated
@@ -27,12 +28,11 @@ def estimate_coeff_rate(level: jnp.ndarray) -> jnp.ndarray:
     small = jnp.full_like(lvl, int(C.LEVEL_RATE_TABLE[5]))
     for k in range(5):
         small = jnp.where(lvl == k, int(C.LEVEL_RATE_TABLE[k]), small)
-    v = lvl - 6
-    # i = floor(log2(v+1)) for v >= 0, via 16 static comparisons (level <= 32767)
-    vp1 = v + 1
-    i = jnp.zeros_like(lvl)
-    for k in range(1, 16):
-        i = i + (vp1 >= (1 << k)).astype(jnp.int32)
+    # i = floor(log2(lvl - 5)) for lvl >= 6, read off the f32 exponent: the
+    # int->f32 conversion is exact below 2^24 (lvl <= 32767), so the biased
+    # exponent IS floor(log2) — 3 ops instead of a 15-compare chain
+    vp1 = jnp.maximum(lvl - 5, 1).astype(jnp.float32)
+    i = (lax.bitcast_convert_type(vp1, jnp.int32) >> 23) - 127
     big = 92000 + ((4 + 2 * i) << 15)
     return jnp.where(lvl < 6, small, big)
 
@@ -77,10 +77,13 @@ def quantize(sz: int, qpd6: int, coef: jnp.ndarray) -> jnp.ndarray:
     cg_sum = dl.reshape(shape).sum(axis=(-3, -1))
     keep = cg_sum >= thr
     keep_full = jnp.repeat(jnp.repeat(keep, C.CG_SZ, axis=-1), C.CG_SZ, axis=-2)
-    return jnp.where(keep_full, signed, 0)
+    # levels are clip16-bounded: int16 halves the live (..., 35, sz, sz) bytes
+    return jnp.where(keep_full, signed, 0).astype(jnp.int16)
 
 
 def dequantize(sz: int, qpd6: int, levels: jnp.ndarray) -> jnp.ndarray:
-    """dst = clip16(level << (Q_SHIFT_TABLE[sz] + qpd6)) (src/HEVCe.c:600-615)."""
+    """dst = clip16(level << (Q_SHIFT_TABLE[sz] + qpd6)) (src/HEVCe.c:600-615).
+    int16 out (clip16-bounded)."""
     q_sft = C.DEQUANT_SHIFT[sz] + qpd6
-    return jnp.clip(levels.astype(jnp.int32) << q_sft, C.COEF_MIN, C.COEF_MAX)
+    return jnp.clip(levels.astype(jnp.int32) << q_sft,
+                    C.COEF_MIN, C.COEF_MAX).astype(jnp.int16)

@@ -76,12 +76,14 @@ def forward_transform(sz: int, residual: jnp.ndarray) -> jnp.ndarray:
 
 
 def inverse_transform(sz: int, coef: jnp.ndarray) -> jnp.ndarray:
-    """Inverse DST/DCT of coefficient blocks (..., sz, sz) int32 (|c| <= 32767)."""
+    """Inverse DST/DCT of coefficient blocks (..., sz, sz), |c| <= 32767 (any
+    int dtype holding clip16 range; int16 keeps the live tensors half-size).
+    Returns int16 (both stages are clip16-bounded)."""
     m_i8, mt_i8 = _mats(sz)
     # stage 1: tmp = clip16(round(M^T @ x >> 7)); M^T @ x = (x^T @ M)^T
     tmp = exact_matmul(jnp.swapaxes(coef, -1, -2), m_i8, bits=16)
     tmp = jnp.swapaxes(tmp, -1, -2)
-    tmp = _clip16(_rshift_round(tmp, 7))
+    tmp = _clip16(_rshift_round(tmp, 7)).astype(jnp.int16)
     # stage 2: y = clip16(round(tmp @ M >> 12))
     out = exact_matmul(tmp, m_i8, bits=16)
-    return _clip16(_rshift_round(out, 12))
+    return _clip16(_rshift_round(out, 12)).astype(jnp.int16)
