@@ -31,8 +31,14 @@ The greedy rate model (round 3; closes the round-2 quality gap):
   * last-significant-XY bits: exact last scan position per candidate
     (gather-free: constant inverse-scan vectors + one-hot coordinate sums)
     fed through the H.265 last-XY group-code length;
-  * per-layout header constants (split/partsize/UV/cbf/TU-split bins at
-    1 bit each) replacing round-2's single flat constant.
+  * per-layout header constants replacing round-2's single flat constant;
+  * sub-bit pricing (late round 3, worth ~0.2 dB): CABAC *context* bins
+    cost CTX_BIT = 0.70 bit (adapted contexts average under a bit; pricing
+    them at 1 bit made the greedy under-split — image 13: 176 TU-split
+    leaves vs the exact encoder's 1521), and the sig-map bins of zeros
+    scanned before the last significant coefficient — absent from the
+    level-rate table — cost SIG_ZERO = 0.30 bit each. Both tuned on a
+    6-image Kodak subset (full sweep tables in ROADMAP round 3).
 All 3 partitions are searched per 8x8 leaf: 2Nx2N single-TU, 2Nx2N TU-split,
 and NxN (4 independent 4x4 PUs with chained winner recon + the reference's
 MPM neighbor wiring, src/HEVCe.c:1491-1557) — round 2 skipped NxN entirely.
@@ -59,33 +65,44 @@ from hevce_tpu.runtime import native
 CTU = 32
 MODES = 35
 DC = 1
-# per-layout header-bit constants (1 bit per context bin): a non-split CU
-# writes split_cu (sz>=16) or part_size (sz==8) [1] + UV pmode [1] + 2x UV
-# cbf [2] + TU-split flag [1, layouts 1/2 only] + Y cbf [1 per TU]. The
-# packed stream's real header bits come from the exact CABAC pass; these
-# only steer the greedy decisions.
-HDR_LAY1 = 6                  # flag + uv + 2 uvcbf + tusplit + 1 ycbf
-HDR_LAY2 = 9                  # flag + uv + 2 uvcbf + tusplit + 4 ycbf
-HDR_NXN = 4                   # part + uv + 2 uvcbf (per-PU ycbf counted per PU)
-SPLIT_FLAG_BITS = 1           # parent's split_cu=1 bin on the split side
+# Estimated rates live in the reference's own <<15 fixed-point bit domain
+# (estimateCoeffRate scale, src/HEVCe.c:526-535). Bypass bins cost exactly
+# BIT; CABAC *context* bins are priced at CTX_BIT < BIT because adapted
+# contexts average well under a bit — pricing them at 1 bit systematically
+# overcharged the layouts that differ by a few context bins (TU-split pays
+# +3 Y-cbf bins + 3 last-XY prefixes vs single-TU; a split pays 4 child
+# headers), which made the greedy under-split vs the exact encoder
+# (measured: image 13 exact picks 8x8 TU-split 1521 times, the 1-bit model
+# 176). CTX_BIT was tuned on a 6-image Kodak subset (see ROADMAP round 3).
+BIT = 1 << 15
+CTX_BIT = 22938               # 0.70 bit per context bin
+SIG_ZERO = 9830               # 0.30 bit per scanned zero before last-sig
+HALF = 1 << 14                # fixed->integer-bit rounding
+# per-layout header context-bin counts: a non-split CU writes split_cu
+# (sz>=16) or part_size (sz==8) [1] + UV pmode [1] + 2x UV cbf [2] +
+# TU-split flag [1, layouts 1/2 only] + Y cbf [1 per TU]. The packed
+# stream's real header bits come from the exact CABAC pass; these only
+# steer the greedy decisions.
+HDR_LAY1_BINS = 6             # flag + uv + 2 uvcbf + tusplit + 1 ycbf
+HDR_LAY2_BINS = 9             # flag + uv + 2 uvcbf + tusplit + 4 ycbf
+HDR_NXN_BINS = 4              # part + uv + 2 uvcbf (per-PU ycbf per PU)
 
 _SUB = ((0, 0), (0, 1), (1, 0), (1, 1))   # z-order, units of half-size
 
 
-def _est_bits(q, axes):
+def _est_rate(q, axes):
     """greedy coefficient-rate estimate: reference estimateCoeffRate summed
-    over the block, >>15 to bits (the table is <<15 fixed point)."""
+    over the block (<<15 fixed point)."""
     import jax.numpy as jnp
-    r = qops.estimate_coeff_rate(jnp.abs(q)).sum(axes)
-    return (r + (1 << 14)) >> 15
+    return qops.estimate_coeff_rate(jnp.abs(q)).sum(axes)
 
 
-def _pmode_bits(pml, pma):
+def _pmode_rate(pml, pma):
     """(lanes,) neighbor pmodes -> (lanes, 35) estimated pmode signalling
-    bits: 3-entry MPM derivation (reference src/HEVCe.c:958-977) with the
-    standard bin counts — MPM hit 0: 2 bits (ctx + 1 bypass), hits 1/2:
-    3 bits, miss: 6 bits (ctx + 5 bypass). Matches the reference's
-    last-match-wins hit scan (no break in the j loop)."""
+    rate (<<15): 3-entry MPM derivation (reference src/HEVCe.c:958-977) —
+    1 context bin (CTX_BIT) + 1/2/5 bypass bits for MPM hit 0 / hits 1-2 /
+    miss. Matches the reference's last-match-wins hit scan (no break in
+    the j loop)."""
     import jax.numpy as jnp
     pml = pml.astype(jnp.int32)
     pma = pma.astype(jnp.int32)
@@ -100,30 +117,32 @@ def _pmode_bits(pml, pma):
     m1 = jnp.where(neq, pma, e1)
     m2 = jnp.where(neq, u2, e2)
     modes = jnp.arange(MODES, dtype=jnp.int32)
-    bits = jnp.full(pml.shape + (MODES,), 6, jnp.int32)
-    bits = jnp.where(modes[None, :] == m0[:, None], 2, bits)
-    bits = jnp.where(modes[None, :] == m1[:, None], 3, bits)
-    bits = jnp.where(modes[None, :] == m2[:, None], 3, bits)
+    bits = jnp.full(pml.shape + (MODES,), CTX_BIT + 5 * BIT, jnp.int32)
+    bits = jnp.where(modes[None, :] == m0[:, None], CTX_BIT + BIT, bits)
+    bits = jnp.where(modes[None, :] == m1[:, None], CTX_BIT + 2 * BIT, bits)
+    bits = jnp.where(modes[None, :] == m2[:, None], CTX_BIT + 2 * BIT, bits)
     return bits
 
 
-def _np_group_bits(v, gmax: int):
-    """H.265 last-XY coordinate code length (numpy, setup time): prefix ctx
-    bins (group-index ones + terminating zero if below gmax, ~1 bit each) +
-    bypass suffix ((g-2)>>1 bits for g>3). Reference put_last_xy semantics
-    (src/HEVCe.c:1046-1087); v in [0, 31]."""
+def _np_group_rate(v, gmax: int, ctx_bit: int):
+    """H.265 last-XY coordinate code rate (<<15, numpy, setup time): prefix
+    ctx bins (group-index ones + terminating zero if below gmax) at ctx_bit
+    each + bypass suffix ((g-2)>>1 bits for g>3). Reference put_last_xy
+    semantics (src/HEVCe.c:1046-1087); v in [0, 31]."""
     from hevce_tpu.bitstream import syntax as syn
     g = syn.GROUP_INDEX[v]
-    return g + (g < gmax).astype(np.int32) + np.where(g > 3, (g - 2) >> 1, 0)
+    ctx = g + (g < gmax).astype(np.int32)
+    byp = np.where(g > 3, (g - 2) >> 1, 0)
+    return ctx * ctx_bit + byp * BIT
 
 
 @functools.lru_cache(maxsize=None)
-def _scan_consts(sz: int):
+def _scan_consts(sz: int, ctx_bit: int):
     """Constant vectors for the last-XY estimate, per scan type: inverse
-    scan (flat pixel position -> scan index) and the TOTAL last-XY bits if
-    the last significant coefficient sits at that pixel (group-code lengths
-    precomputed at setup, SCAN_VER's x/y swap folded in). Plus the per-mode
-    scan type (src/HEVCe.c:1134-1150)."""
+    scan (flat pixel position -> scan index) and the TOTAL last-XY rate
+    (<<15) if the last significant coefficient sits at that pixel
+    (group-code lengths precomputed at setup, SCAN_VER's x/y swap folded
+    in). Plus the per-mode scan type (src/HEVCe.c:1134-1150)."""
     from hevce_tpu.bitstream import syntax as syn
     nn = sz * sz
     gmax = int(syn.GROUP_INDEX[sz - 1])
@@ -135,7 +154,8 @@ def _scan_consts(sz: int):
         tab = syn.scan_table(sz, st)                  # (nn, 2) of (y, x)
         inv[st, tab[:, 0] * sz + tab[:, 1]] = np.arange(nn, dtype=np.int32)
         ty, tx = (xs, ys) if st == syn.SCAN_VER else (ys, xs)
-        tbl[st] = _np_group_bits(tx, gmax) + _np_group_bits(ty, gmax)
+        tbl[st] = (_np_group_rate(tx, gmax, ctx_bit)
+                   + _np_group_rate(ty, gmax, ctx_bit))
     stm = np.zeros(MODES, np.int32)
     if sz <= 8:
         for m in range(MODES):
@@ -146,27 +166,33 @@ def _scan_consts(sz: int):
     return inv, tbl, stm
 
 
-def _lastxy_bits(sz: int, q):
-    """(..., 35, sz, sz) quant levels -> (..., 35) estimated last-XY bits.
+def _lastxy_rate(sz: int, q):
+    """(..., 35, sz, sz) quant levels -> (..., 35) estimated last-XY rate
+    (<<15).
 
     Exact last significant scan position, computed gather-free: the inverse
-    scan is a CONSTANT vector, so i_last = max(inv_scan * sig), and the bits
-    at that position fall out of a one-hot sum against a constant per-pixel
-    bits table. Mode-dependent scan types (sz <= 8) select among the three
+    scan is a CONSTANT vector, so i_last = max(inv_scan * sig), and the rate
+    at that position falls out of a one-hot sum against a constant per-pixel
+    rate table. Mode-dependent scan types (sz <= 8) select among the three
     per-type results. All-zero blocks (cbf=0) contribute 0."""
     import jax.numpy as jnp
-    inv, tbl, stm = _scan_consts(sz)
+    inv, tbl, stm = _scan_consts(sz, CTX_BIT)
     nn = sz * sz
     sig = (q.reshape(q.shape[:-2] + (nn,)) != 0)
     nz = sig.any(-1)
     sigi = sig.astype(jnp.int32)
+    nnz = sigi.sum(-1)
     sts = (0, 1, 2) if sz <= 8 else (0,)
     outs = {}
     for st in sts:
         invv = jnp.asarray(inv[st])
         il = jnp.max(invv * sigi, axis=-1)
+        # sig-map bins of the ZEROS scanned before the last significant
+        # coefficient: real CABAC pays one context bin per scanned zero
+        # (the level-rate table covers only nonzeros), priced SIG_ZERO
+        zb = il + 1 - nnz
         oh = (invv == il[..., None]).astype(jnp.int32)
-        outs[st] = (oh * jnp.asarray(tbl[st])).sum(-1)
+        outs[st] = (oh * jnp.asarray(tbl[st])).sum(-1) + zb * SIG_ZERO
     if len(outs) == 1:
         bits = outs[0]
     else:
@@ -226,13 +252,13 @@ def _eval_node(qpd6, A, orig, fl, pml, pma, y0, x0, sz, return_sub0=False):
     q4, r4, s4 = cu_eval.eval_tusplit(sz, qpd6, top, left, fl, blk)
 
     h = sz // 2
-    pmb = _pmode_bits(pml, pma)                         # (B', 35)
-    last1 = _lastxy_bits(sz, q1)
-    last3 = sum(_lastxy_bits(h, q4[..., k, :, :]) for k in range(4))
-    bits1 = _est_bits(q1, (-1, -2)) + last1 + pmb + HDR_LAY1
-    bits3 = _est_bits(q4, (-1, -2, -3)) + last3 + pmb + HDR_LAY2
-    cost1 = rdcost.calc_rd_cost(qpd6, s1, bits1)        # (B', 35)
-    cost3 = rdcost.calc_rd_cost(qpd6, s4, bits3)
+    pmr = _pmode_rate(pml, pma)                         # (B', 35) <<15
+    last1 = _lastxy_rate(sz, q1)
+    last3 = sum(_lastxy_rate(h, q4[..., k, :, :]) for k in range(4))
+    r1f = _est_rate(q1, (-1, -2)) + last1 + pmr + HDR_LAY1_BINS * CTX_BIT
+    r3f = _est_rate(q4, (-1, -2, -3)) + last3 + pmr + HDR_LAY2_BINS * CTX_BIT
+    cost1 = rdcost.calc_rd_cost(qpd6, s1, (r1f + HALF) >> 15)   # (B', 35)
+    cost3 = rdcost.calc_rd_cost(qpd6, s4, (r3f + HALF) >> 15)
     costs = jnp.concatenate([cost1, cost3], axis=1)     # (B', 70)
     sel = jnp.argmin(costs, axis=1).astype(jnp.int32)   # flat winner
     cost = jnp.min(costs, axis=1)
@@ -283,8 +309,9 @@ def _eval_nxn(qpd6, A, orig, fl8, pml, pma, pl_lo, pa_hi, y0, x0, sub0):
     f4 = _sub_flags((fl8[:, 0], fl8[:, 1], fl8[:, 2], fl8[:, 3]))
     local = A
     sat = jnp.int32(rdcost.I32_MAX)
+    hdr_bits = (HDR_NXN_BINS * CTX_BIT + HALF) >> 15
     total = rdcost.calc_rd_cost(
-        qpd6, jnp.zeros_like(pml), jnp.full_like(pml, HDR_NXN))
+        qpd6, jnp.zeros_like(pml), jnp.full_like(pml, hdr_bits))
     iota = jnp.arange(MODES, dtype=jnp.int32)
     sub_pm, quants = [], []
     for isub, (dy, dx) in enumerate(_SUB):
@@ -304,9 +331,9 @@ def _eval_nxn(qpd6, A, orig, fl8, pml, pma, pl_lo, pa_hi, y0, x0, sub0):
             pl, pa = pl_lo, sub_pm[0]
         else:
             pl, pa = sub_pm[2], sub_pm[1]
-        bits = (_pmode_bits(pl, pa) + _lastxy_bits(4, q)
-                + _est_bits(q, (-1, -2)) + 1)            # +1: per-PU Y cbf
-        cost = rdcost.calc_rd_cost(qpd6, s, bits)        # (B', 35)
+        rf = (_pmode_rate(pl, pa) + _lastxy_rate(4, q)
+              + _est_rate(q, (-1, -2)) + CTX_BIT)       # +CTX: per-PU Y cbf
+        cost = rdcost.calc_rd_cost(qpd6, s, (rf + HALF) >> 15)   # (B', 35)
         sel = jnp.argmin(cost, axis=1).astype(jnp.int32)
         c = jnp.min(cost, axis=1)
         B = sel.shape[0]
@@ -430,9 +457,14 @@ def _make_front_core(qpd6: int, R: int):
         def sat_add(a, c_):
             return jnp.where(a > sat - c_, sat, a + c_)
 
-        split_bit = rdcost.calc_rd_cost(
-            qpd6, jnp.zeros((BR,), jnp.int32),
-            jnp.full((BR,), SPLIT_FLAG_BITS, jnp.int32))
+        # parent's split_cu=1 context bin, priced sub-bit directly in cost
+        # units (w_bits * CTX_BIT >> 15) — rounding it to whole bits first
+        # would erase the sub-bit context pricing exactly where the
+        # merge-vs-split comparison is decided
+        from hevce_tpu.ops import constants as Cst
+        w_bits = int(Cst.RDCOST_WEIGHT_BITS[qpd6])
+        split_bit = jnp.full(
+            (BR,), (w_bits * CTX_BIT + HALF) >> 15, jnp.int32)
 
         def quad_body(carry, xs):
             # ONE dynamic window slice per quadrant (canvas / orig / pmode

@@ -377,7 +377,10 @@ def _predict(sz, pmode, borders):
         invang = int(C.ABS_INV_ANGLE_TABLE[pmode])
         main = blb if horiz else bar
         side = bar if horiz else blb
-        ref = np.zeros(4 * 32 + 1, np.int32)
+        # +2: at angle=32, i=sz-1 the p2 slice reaches base+2+sz+sz even
+        # though its weight `of` is 0 (the reference reads the dead value
+        # too, src/HEVCe.c:342-380; numpy would truncate the slice instead)
+        ref = np.zeros(4 * 32 + 2, np.int32)
         base = 2 * 32
         ref[base] = bla
         ref[base + 1:base + 1 + 2 * sz] = side[:2 * sz]
