@@ -120,13 +120,27 @@ def main():
 def _device_ok():
     """The fast metric is only meaningful on an accelerator backend: CPU JAX
     runs the same program orders of magnitude slower while the label says
-    'TPU' (round-2 advisor finding)."""
+    'TPU' (round-2 advisor finding).
+
+    Probed in a SUBPROCESS with a timeout: a wedged TPU tunnel hangs
+    backend *init* indefinitely (observed on axon after a killed compile),
+    and jax.default_backend() in-process would hang the whole bench. The
+    probe process exits before this process initializes the backend, so
+    there is never concurrent TPU access."""
     if os.environ.get("HEVCE_BENCH_FAST"):
         return True
+    import subprocess
     try:
-        import jax
-        return jax.default_backend() not in ("cpu", "interpreter")
-    except Exception:  # noqa: BLE001
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True,
+            timeout=float(os.environ.get("HEVCE_BENCH_PROBE_TIMEOUT", "300")))
+        backend = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        return r.returncode == 0 and backend not in ("", "cpu", "interpreter")
+    except Exception as e:  # noqa: BLE001 — timeout/missing python: host path
+        print(f"backend probe failed ({e!r}); using host metric",
+              file=sys.stderr)
         return False
 
 
