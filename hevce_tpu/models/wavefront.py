@@ -32,13 +32,16 @@ The greedy rate model (round 3; closes the round-2 quality gap):
     (gather-free: constant inverse-scan vectors + one-hot coordinate sums)
     fed through the H.265 last-XY group-code length;
   * per-layout header constants replacing round-2's single flat constant;
-  * sub-bit pricing (late round 3, worth ~0.2 dB): CABAC *context* bins
-    cost CTX_BIT = 0.70 bit (adapted contexts average under a bit; pricing
+  * sub-bit pricing (late round 3, worth ~0.25 dB): CABAC *context* bins
+    cost CTX_BIT = 0.75 bit (adapted contexts average under a bit; pricing
     them at 1 bit made the greedy under-split — image 13: 176 TU-split
     leaves vs the exact encoder's 1521), and the sig-map bins of zeros
     scanned before the last significant coefficient — absent from the
-    level-rate table — cost SIG_ZERO = 0.30 bit each. Both tuned on a
-    6-image Kodak subset (full sweep tables in ROADMAP round 3).
+    level-rate table — cost SIG_ZERO = 0.30 bit each, EXCEPT zeros in
+    all-zero middle coefficient groups, which the real coder skips with
+    one sig_cg flag (CG_BIN each per middle group; reference put_coef
+    sig_cg semantics, src/HEVCe.c:1199-1212). Knobs tuned on a 6-image
+    Kodak subset (full sweep tables in ROADMAP round 3).
 All 3 partitions are searched per 8x8 leaf: 2Nx2N single-TU, 2Nx2N TU-split,
 and NxN (4 independent 4x4 PUs with chained winner recon + the reference's
 MPM neighbor wiring, src/HEVCe.c:1491-1557) — round 2 skipped NxN entirely.
@@ -75,8 +78,9 @@ DC = 1
 # (measured: image 13 exact picks 8x8 TU-split 1521 times, the 1-bit model
 # 176). CTX_BIT was tuned on a 6-image Kodak subset (see ROADMAP round 3).
 BIT = 1 << 15
-CTX_BIT = 22938               # 0.70 bit per context bin
+CTX_BIT = 24576               # 0.75 bit per context bin
 SIG_ZERO = 9830               # 0.30 bit per scanned zero before last-sig
+CG_BIN = CTX_BIT              # sig_cg flag of a middle coefficient group
 HALF = 1 << 14                # fixed->integer-bit rounding
 # per-layout header context-bin counts: a non-split CU writes split_cu
 # (sz>=16) or part_size (sz==8) [1] + UV pmode [1] + 2x UV cbf [2] +
@@ -192,7 +196,29 @@ def _lastxy_rate(sz: int, q):
         # (the level-rate table covers only nonzeros), priced SIG_ZERO
         zb = il + 1 - nnz
         oh = (invv == il[..., None]).astype(jnp.int32)
-        outs[st] = (oh * jnp.asarray(tbl[st])).sum(-1) + zb * SIG_ZERO
+        rate = (oh * jnp.asarray(tbl[st])).sum(-1) + zb * SIG_ZERO
+        if nn > 16:
+            # CG refinement (reference put_coef sig_cg flags,
+            # src/HEVCe.c:1199-1212): a MIDDLE coefficient group (strictly
+            # between CG 0 and the group holding the last coefficient) that
+            # is all-zero costs ONE sig_cg context bin, not 16 sig bins —
+            # remove the per-zero charge for those groups; and every middle
+            # group pays its sig_cg flag (CG_BIN), which the per-zero model
+            # never charged for nonzero groups. Gather-free: CG membership
+            # in scan order is a CONSTANT one-hot of (inv_scan >> 4).
+            ncg = nn // 16
+            C = ((invv >> 4)[:, None]
+                 == jnp.arange(ncg, dtype=jnp.int32)[None, :])
+            nnz_cg = jnp.matmul(
+                sigi.astype(jnp.float32),
+                C.astype(jnp.float32)).astype(jnp.int32)   # (..., ncg) exact
+            cg_last = il >> 4
+            cgi = jnp.arange(ncg, dtype=jnp.int32)
+            mid = (cgi >= 1) & (cgi < cg_last[..., None])
+            n_mid = jnp.maximum(cg_last - 1, 0)
+            n_mid_zero = (mid & (nnz_cg == 0)).sum(-1)
+            rate = rate - 16 * n_mid_zero * SIG_ZERO + n_mid * CG_BIN
+        outs[st] = rate
     if len(outs) == 1:
         bits = outs[0]
     else:
