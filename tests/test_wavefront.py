@@ -188,3 +188,40 @@ def test_fast_mode_odd_dims_and_qpd6_sweep():
     for q in (0, 4):
         s, r = encode_image_fast(img, q)
         np.testing.assert_array_equal(decode_stream(s), r)
+
+
+def test_lastxy_rate_oracle():
+    """The gather-free last-XY + sig-map rate estimate (sub-bit pricing +
+    CG-aware refinement, wavefront.py module docs) equals a direct numpy
+    transcription of the model: exact last-position group-code rate, one
+    SIG_ZERO per scanned zero before last, EXCEPT all-zero middle
+    coefficient groups which cost one CG_BIN (as does every middle group's
+    sig_cg flag; reference put_coef sig_cg semantics src/HEVCe.c:1199-1212)."""
+    import jax.numpy as jnp
+    from hevce_tpu.models import wavefront as wf
+
+    rng = np.random.default_rng(3)
+    for sz in (4, 8):
+        q = np.where(rng.random((20, 35, sz, sz)) < 0.06,
+                     rng.integers(-5, 6, (20, 35, sz, sz)), 0).astype(np.int32)
+        got = np.asarray(wf._lastxy_rate(sz, jnp.asarray(q)))
+        inv, tbl, stm = wf._scan_consts(sz, wf.CTX_BIT)
+        exp = np.zeros((20, 35), np.int64)
+        for b in range(20):
+            for m in range(35):
+                st = stm[m] if sz <= 8 else 0
+                sig = q[b, m].reshape(-1) != 0
+                if not sig.any():
+                    continue
+                il = (inv[st] * sig).max()
+                rate = tbl[st][inv[st] == il][0]
+                rate += (il + 1 - sig.sum()) * wf.SIG_ZERO
+                if sz * sz > 16:
+                    cg_pix = inv[st] >> 4
+                    cg_last = il >> 4
+                    nzero = sum(1 for c in range(1, cg_last)
+                                if not sig[cg_pix == c].any())
+                    rate += (-16 * nzero * wf.SIG_ZERO
+                             + max(cg_last - 1, 0) * wf.CG_BIN)
+                exp[b, m] = rate
+        np.testing.assert_array_equal(got, exp)
