@@ -879,10 +879,15 @@ static inline i32 coeff_rate_fast(i32 level) {
 
 // simplified RDOQ (reference src/HEVCe.c:540-595); src/dst stride sz.
 // Straight-line 3-candidate selection with the reference's tie rule
-// (strict <, high level first) and per-CG kill rule.
+// (strict <, high level first) and per-CG kill rule. BRANCHLESS two-pass
+// form: pass 1 is a flat select-only loop over all coefficients (the
+// data-dependent branches of the scalar form mispredicted ~50% and made
+// this the hottest math stage at ~600 ns per 8x8 call; selects
+// autovectorize with AVX-512 masks), pass 2 applies the per-CG kill rule
+// from the per-coefficient min(dl, thr) partial sums.
 template <int SZ>
 static void quantize_t(i32 qpd6, const i32* __restrict src, i32* __restrict dst) {
-    constexpr i32 sz = SZ;
+    constexpr i32 sz = SZ, nn = SZ * SZ;
     constexpr i32 dist_sft = sz == 4 ? 8 : sz == 8 ? 7 : sz == 16 ? 6 : 5;
     const i32 sft = (sz == 4 ? 19 : sz == 8 ? 18 : sz == 16 ? 17 : 16) + qpd6;
     const i32 add = 1 << sft >> 1;
@@ -891,46 +896,65 @@ static void quantize_t(i32 qpd6, const i32* __restrict src, i32* __restrict dst)
     const i32 w1 = kWDist[qpd6], w2 = kWBits[qpd6];
     const i32 t1 = I32_MAX / w1, t2 = I32_MAX / w2;
 
+    // branchless coeff_rate_fast: select chain over the 6-entry table +
+    // the closed-form tail (identical values; clz input clamped >= 1 only
+    // when the tail is selected, matching the level >= 6 precondition)
+    auto rate_of = [&](i32 lvl) -> i32 {
+        i32 lz = lvl - 5 > 0 ? lvl - 5 : 1;
+        i32 ib = 31 - __builtin_clz((unsigned)lz);
+        i32 r = 92000 + ((4 + 2 * ib) << 15);
+        r = lvl == 5 ? 190304 : r;
+        r = lvl == 4 ? 157536 : r;
+        r = lvl == 3 ? 92000 : r;
+        r = lvl == 2 ? 90000 : r;
+        r = lvl == 1 ? 70000 : r;
+        r = lvl == 0 ? 0 : r;
+        return r;
+    };
     auto cost_of = [&](i32 dl, i32 lvl) -> i32 {
         i32 d1 = dl - (lvl << sft);
         d1 = d1 < 0 ? -d1 : d1;
         d1 >>= dist_sft;
         i32 d = ((d1 < 46340) ? d1 * d1 : I32_MAX) >> 7;
-        i32 r = coeff_rate_fast(lvl);
+        i32 r = rate_of(lvl);
         i32 c1 = (t1 <= d) ? I32_MAX : w1 * d;
         i32 c2 = (t2 <= r) ? I32_MAX : w2 * r;
         return (I32_MAX - c1 <= c2) ? I32_MAX : c1 + c2;
     };
 
+    i32 m[nn];                      // min(dl, thr) per coefficient
+#pragma omp simd
+    for (i32 i = 0; i < nn; i++) {
+        i32 v = src[i];
+        i32 av = v < 0 ? -v : v;
+        i32 dl0 = (av & 0x1ffff) << 14;
+        i32 dl = (int(av > 0x1ffff) | int(dl0 >= max_dl)) ? max_dl : dl0;
+        i32 l0 = coefclip((dl + add) >> sft);
+        // three candidates l0 / l0-1 / l0-2, invalid ones masked to
+        // I32_MAX (strict < keeps the higher level on ties, as the
+        // reference's in-order compare does); l0 == 0 falls out naturally
+        // (only candidate is 0 -> bl = 0)
+        i32 bl = l0;
+        i32 bc = cost_of(dl, l0);
+        i32 lA = l0 - 1 > 0 ? l0 - 1 : 0;
+        i32 cA = l0 >= 1 ? cost_of(dl, lA) : I32_MAX;
+        bl = cA < bc ? lA : bl;
+        bc = cA < bc ? cA : bc;
+        i32 lB = l0 - 2 > 0 ? l0 - 2 : 0;
+        i32 cB = l0 >= 2 ? cost_of(dl, lB) : I32_MAX;
+        bl = cB < bc ? lB : bl;
+        dst[i] = v < 0 ? -bl : bl;
+        m[i] = dl < thr ? dl : thr;
+    }
+
+    // per-CG kill rule (cg_sum accumulates min(dl, thr); for l0 == 0 the
+    // scalar form added dl unclamped, but there dl < 2^sft < thr so the
+    // two agree)
     for (i32 yc = 0; yc < sz; yc += 4)
         for (i32 xc = 0; xc < sz; xc += 4) {
             i32 cg_sum = 0;
             for (i32 y = yc; y < yc + 4; y++)
-                for (i32 x = xc; x < xc + 4; x++) {
-                    i32 v = src[y * sz + x];
-                    i32 av = v < 0 ? -v : v;
-                    i32 dl0 = (av & 0x1ffff) << 14;
-                    i32 dl = (av > 0x1ffff || dl0 >= max_dl) ? max_dl : dl0;
-                    i32 l0 = coefclip((dl + add) >> sft);
-                    if (l0 == 0) {
-                        // only candidate is 0 (dl < thr holds: dl < add*2)
-                        dst[y * sz + x] = 0;
-                        cg_sum += dl;
-                        continue;
-                    }
-                    i32 bl = l0;
-                    i32 bc = cost_of(dl, l0);
-                    if (l0 >= 1) {
-                        i32 c = cost_of(dl, l0 - 1);
-                        if (c < bc) { bc = c; bl = l0 - 1; }
-                    }
-                    if (l0 >= 2) {
-                        i32 c = cost_of(dl, l0 - 2);
-                        if (c < bc) { bc = c; bl = l0 - 2; }
-                    }
-                    dst[y * sz + x] = v < 0 ? -bl : bl;
-                    cg_sum += dl < thr ? dl : thr;
-                }
+                for (i32 x = xc; x < xc + 4; x++) cg_sum += m[y * sz + x];
             if (cg_sum < thr)
                 for (i32 y = yc; y < yc + 4; y++)
                     for (i32 x = xc; x < xc + 4; x++) dst[y * sz + x] = 0;

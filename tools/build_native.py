@@ -22,7 +22,8 @@ SRC = ROOT / "csrc" / "hevce_host.cpp"
 OUT = ROOT / "hevce_tpu" / "runtime" / "libhevce_host.so"
 
 BASE = ["g++", "-std=c++17", "-shared", "-fPIC", "-pthread", "-Wall", "-Wextra",
-        "-Wno-unused-parameter", "-O3", "-march=native", "-funroll-loops"]
+        "-Wno-unused-parameter", "-O3", "-march=native", "-funroll-loops",
+        "-fopenmp-simd"]
 
 
 def _run_training(lib_path: pathlib.Path):
