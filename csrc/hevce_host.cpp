@@ -588,12 +588,13 @@ static const bool kMinEscInit = [] {
 
 static i32 rate_floor(const i32* blk, i32 n) {
     i32 lb = 0;
+#pragma omp simd reduction(+ : lb)
     for (i32 i = 0; i < n; i++) {
         i32 v = blk[i];
-        if (!v) continue;
         i32 av = v < 0 ? -v : v;
-        lb += 1;  // sign bypass
-        if (av >= 3) lb += kMinEscBits[av - 3 < 511 ? av - 3 : 511];
+        i32 idx = av - 3 < 511 ? (av - 3 > 0 ? av - 3 : 0) : 511;
+        i32 esc = av >= 3 ? kMinEscBits[idx] : 0;
+        lb += (v != 0) + esc;  // sign bypass + escape floor
     }
     return lb;
 }
