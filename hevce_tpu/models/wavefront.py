@@ -467,14 +467,12 @@ def _make_front_core(qpd6: int, R: int):
         P = jnp.full((BR, 9, 9), DC, jnp.int32)
         P = P.at[:, 1:, 0].set(pm_left)
 
-        # stacked per-node availability flags (z-order), scan xs
-        f16 = _sub_flags(ctu_fl)
-        LF = jnp.stack([
-            jnp.stack([jnp.stack(lf, -1) for lf in _sub_flags(f16[qi])])
-            for qi in range(4)])                         # (4, 4, BR, 4)
-        QF = jnp.stack([jnp.stack(f16[qi], -1) for qi in range(4)])
-        off_y = jnp.asarray([0, 0, 1, 1], jnp.int32)     # z-order, half-size
-        off_x = jnp.asarray([0, 1, 0, 1], jnp.int32)
+        # Per-quadrant availability flags are computed IN-BODY from the
+        # xs quadrant index (cheap (BR,) boolean ops) rather than fed as
+        # stacked scan xs: the xs form staged the tiny pred tensors
+        # through per-iteration cross-memory copies (xplane: a pred[4]
+        # copy-start alone was 8.5% of slice time).
+        bll_c, blb_c, baa_c, bar_c = ctu_fl
 
         # saturating int32 accumulation (jnp int64 silently degrades to
         # int32 without x64 mode; costs are <= I32_MAX, sums must not wrap)
@@ -492,7 +490,7 @@ def _make_front_core(qpd6: int, R: int):
         split_bit = jnp.full(
             (BR,), (w_bits * CTX_BIT + HALF) >> 15, jnp.int32)
 
-        def quad_body(carry, xs):
+        def quad_body(carry, qi):
             # ONE dynamic window slice per quadrant (canvas / orig / pmode
             # map), all 4 leaf evals Python-unrolled at STATIC offsets
             # inside the windows, ONE dynamic commit back. The rolled
@@ -502,7 +500,20 @@ def _make_front_core(qpd6: int, R: int):
             # — the offsets stayed traced), so the windows are what make
             # the leaf walk static.
             Ac, Pc = carry
-            lf, qf, dy, dx = xs
+            # quadrant flags from the z-order index (the _sub_flags rule
+            # specialized to row qi): q0 (bll,bll,baa,baa) q1 (t,f,baa,bar)
+            # q2 (bll,blb,t,t) q3 (t,f,t,f)
+            odd = (qi & 1) == 1                      # quadrants 1, 3
+            hi = qi >= 2                             # quadrants 2, 3
+            qbll = bll_c | odd
+            qblb = jnp.where(odd, False, jnp.where(hi, blb_c, bll_c))
+            qbaa = baa_c | hi
+            qbar = jnp.where(odd, jnp.where(hi, False, bar_c),
+                             jnp.where(hi, True, baa_c))
+            qf = jnp.stack([qbll, qblb, qbaa, qbar], -1)
+            lf = jnp.stack([jnp.stack(t, -1)
+                            for t in _sub_flags((qbll, qblb, qbaa, qbar))])
+            dy, dx = qi >> 1, qi & 1                 # z-order, half-size
             y16, x16 = 16 * dy, 16 * dx
             cy, cx = y16 // 4, x16 // 4
             WQ = lax.dynamic_slice(Ac, (0, y16, x16), (BR, 33, 33))
@@ -557,8 +568,14 @@ def _make_front_core(qpd6: int, R: int):
             la16 = jnp.where(own, la, 0)
             return (Ac, Pc), (leaf_ys, la16, p, qb, cost_q)
 
+        # the quadrant counter rides xs (a 4-element iota), NEVER the carry:
+        # a carried-and-incremented loop counter whose value feeds the body
+        # is exactly the TPU while-loop aliasing hazard found for the front
+        # index d (see the scan below) — and an iota xs is a 16-byte feed,
+        # unlike the stacked flag tensors the xs used to stage (the pred[4]
+        # copy-start that was 8.5% of slice time in the xplane profile)
         (A, P), (leaf_ys, la16, pm16, q16, cost16) = lax.scan(
-            quad_body, (A, P), (LF, QF, off_y, off_x))
+            quad_body, (A, P), jnp.arange(4, dtype=jnp.int32))
         leaf_la, leaf_pm, leaf_pm4, leaf_qb = leaf_ys   # (4, 4, BR, ...)
 
         fl32 = jnp.stack(ctu_fl, -1)
@@ -686,8 +703,17 @@ def _slice_runner_cache(qpd6: int, R: int, Cc: int, want_recon: bool,
         W0 = jnp.zeros((B, R, 3, CTU, CTU), jnp.uint8)
         P0 = jnp.zeros((B, R, 8), jnp.int32)
 
-        def body(carry, o_col):
-            W, PME, d = carry
+        def body(carry, xs):
+            # The front index d rides xs (an iota), NEVER the carry. A
+            # carried d incremented in the body is read CLOBBERED (as d+1)
+            # by part of the next iteration's flag math on the TPU backend
+            # — the root cause of the long-open CPU-vs-TPU fast-mode
+            # decision divergence (round-3 probes 5-10: direct call and
+            # every isolated stage match bit-for-bit; only a >=2-iteration
+            # scan whose body both uses and increments a carried counter
+            # diverges, with lanes behaving exactly as if cc = (d+1) - 2r).
+            o_col, d = xs
+            W, PME = carry
             S_col, lay_col, pm_col, pm4_col, qc_col, pme_col = core(
                 W, PME, o_col, d, jnp.int32(Cc))
             W = jnp.concatenate([W[:, :, 1:], S_col[:, :, None]], axis=2)
@@ -695,9 +721,10 @@ def _slice_runner_cache(qpd6: int, R: int, Cc: int, want_recon: bool,
                   pm4_col.astype(jnp.int8))
             if fetch_qc:
                 ys = (S_col.astype(jnp.uint8),) + ys + (qc_col.astype(jnp.int16),)
-            return (W, pme_col, d + 1), ys
+            return (W, pme_col), ys
 
-        _, ys = lax.scan(body, (W0, P0, jnp.int32(0)), Osk)
+        _, ys = lax.scan(body, (W0, P0),
+                         (Osk, jnp.arange(D, dtype=jnp.int32)))
 
         def unskew(a):                    # (D, B, R, ...) -> (B, R, Cc, ...)
             rows = [a[2 * r:2 * r + Cc, :, r] for r in range(R)]

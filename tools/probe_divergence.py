@@ -1,4 +1,11 @@
-"""Round-3 divergence localization, v2.
+"""Round-3 divergence localization, v2. [RESOLVED — kept as history]
+
+RESOLUTION (late round 3): root cause was a TPU-backend while-loop hazard —
+a lax.scan body that both uses and increments a carried scalar counter
+reads the clobbered (incremented) value in part of its math. Fixed by
+feeding the front index d (and the quadrant index qi) from scan xs;
+regression check: tools/verify_cross_platform.py (CPU/TPU decision records
+now bit-identical, including full Kodak grids). Details: ROADMAP.md.
 
 KEY REALIZATION: earlier probes' "direct" calls closed over CONSTANT
 inputs, so XLA constant-folded them at compile time with host semantics —
