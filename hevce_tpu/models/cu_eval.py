@@ -58,14 +58,32 @@ def eval_2nx2n(sz: int, qpd6: int, ctx_top, ctx_left, flags, blk_orig):
     return q, recon, sse
 
 
-def eval_tusplit(sz: int, qpd6: int, ctx_top, ctx_left, flags, blk_orig):
-    """all-35-mode four-TU evaluation (reference step 3, src/HEVCe.c:1455-1484).
+def _select_pred(sz: int, S, sel_oh):
+    """Per-lane selected-mode prediction: S (..., T, n) border vectors,
+    sel_oh (..., T, 35) bool with exactly one True per lane. Predict all 35
+    modes from each lane's own borders, then one-hot-select the lane's mode
+    (uint8 masked sum with a single nonzero term — exact, gather-free).
+    Bit-identical to intra.predict_per_lane when sel_oh is the identity."""
+    p35 = intra.predict_all_modes(sz, S)              # (..., T, 35, sz, sz)
+    w = sel_oh.astype(jnp.uint8)[..., None, None]
+    return (p35 * w).sum(-3, dtype=jnp.uint8)
+
+
+def eval_tusplit(sz: int, qpd6: int, ctx_top, ctx_left, flags, blk_orig,
+                 sel_oh=None):
+    """four-TU evaluation over a mode-lane axis (reference step 3,
+    src/HEVCe.c:1455-1484).
 
     Sub-TU isub order is z-order; each mode lane chains through its own
     reconstruction canvas. Sub-block border existence follows the reference
     tables (src/HEVCe.c:1376-1379).
+
+    sel_oh=None: the lane axis is all 35 modes (lane m predicts with mode m).
+    sel_oh (..., T, 35) bool: T preselected lanes (RMD fast mode); lane t
+    predicts with its one-hot mode, via _select_pred.
     """
     h = sz // 2
+    M = 35 if sel_oh is None else sel_oh.shape[-2]
     bshape = blk_orig.shape[:-2]
     bll, blb, baa, bar = (flags[..., i] for i in range(4))
     true_ = jnp.ones_like(bll)
@@ -78,26 +96,26 @@ def eval_tusplit(sz: int, qpd6: int, ctx_top, ctx_left, flags, blk_orig):
     ]
     offs = [(0, 0), (0, h), (h, 0), (h, h)]
 
-    canvas = jnp.zeros(bshape + (35, sz, sz), jnp.uint8)
+    canvas = jnp.zeros(bshape + (M, sz, sz), jnp.uint8)
     quants = []
 
-    def bc(x):  # broadcast a shared border piece over the mode axis
-        return jnp.broadcast_to(x[..., None, :], x.shape[:-1] + (35,) + x.shape[-1:])
+    def bc(x):  # broadcast a shared border piece over the mode-lane axis
+        return jnp.broadcast_to(x[..., None, :], x.shape[:-1] + (M,) + x.shape[-1:])
 
     for isub, (oy, ox) in enumerate(offs):
         if isub == 0:
             corner = ctx_top[..., 0]
             left2 = ctx_left[..., 0:2 * h]
             top2 = ctx_top[..., 1:1 + 2 * h]
-            corner = jnp.broadcast_to(corner[..., None], bshape + (35,))
+            corner = jnp.broadcast_to(corner[..., None], bshape + (M,))
             left2, top2 = bc(left2), bc(top2)
         elif isub == 1:
-            corner = jnp.broadcast_to(ctx_top[..., h][..., None], bshape + (35,))
+            corner = jnp.broadcast_to(ctx_top[..., h][..., None], bshape + (M,))
             # left column: canvas col h-1 rows 0..2h-1 (rows >= h masked, blb=0)
             left2 = canvas[..., :, 0:2 * h, h - 1]
             top2 = bc(ctx_top[..., 1 + h:1 + 3 * h])
         elif isub == 2:
-            corner = jnp.broadcast_to(ctx_left[..., h - 1][..., None], bshape + (35,))
+            corner = jnp.broadcast_to(ctx_left[..., h - 1][..., None], bshape + (M,))
             left2 = bc(ctx_left[..., h:3 * h])
             top2 = canvas[..., :, h - 1, 0:2 * h]
         else:
@@ -108,9 +126,10 @@ def eval_tusplit(sz: int, qpd6: int, ctx_top, ctx_left, flags, blk_orig):
             tp = canvas[..., :, h - 1, h:2 * h]
             top2 = jnp.concatenate([tp, tp], axis=-1)
 
-        fl = [jnp.broadcast_to(f[..., None], bshape + (35,)) for f in sub_flags[isub]]
+        fl = [jnp.broadcast_to(f[..., None], bshape + (M,)) for f in sub_flags[isub]]
         S = intra.build_borders(h, corner, left2, top2, *fl)
-        pred = intra.predict_per_lane(h, S)
+        pred = (intra.predict_per_lane(h, S) if sel_oh is None
+                else _select_pred(h, S, sel_oh))
 
         sub_orig = blk_orig[..., oy:oy + h, ox:ox + h]
         q, recon = _pipeline(h, qpd6, pred, sub_orig)

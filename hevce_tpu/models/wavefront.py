@@ -101,12 +101,9 @@ def _est_rate(q, axes):
     return qops.estimate_coeff_rate(jnp.abs(q)).sum(axes)
 
 
-def _pmode_rate(pml, pma):
-    """(lanes,) neighbor pmodes -> (lanes, 35) estimated pmode signalling
-    rate (<<15): 3-entry MPM derivation (reference src/HEVCe.c:958-977) —
-    1 context bin (CTX_BIT) + 1/2/5 bypass bits for MPM hit 0 / hits 1-2 /
-    miss. Matches the reference's last-match-wins hit scan (no break in
-    the j loop)."""
+def _mpm_triplet(pml, pma):
+    """(lanes,) neighbor pmodes -> three (lanes,) most-probable modes
+    (reference MPM derivation, src/HEVCe.c:958-977)."""
     import jax.numpy as jnp
     pml = pml.astype(jnp.int32)
     pma = pma.astype(jnp.int32)
@@ -120,6 +117,17 @@ def _pmode_rate(pml, pma):
     m0 = jnp.where(neq, pml, e0)
     m1 = jnp.where(neq, pma, e1)
     m2 = jnp.where(neq, u2, e2)
+    return m0, m1, m2
+
+
+def _pmode_rate(pml, pma):
+    """(lanes,) neighbor pmodes -> (lanes, 35) estimated pmode signalling
+    rate (<<15): 3-entry MPM derivation (reference src/HEVCe.c:958-977) —
+    1 context bin (CTX_BIT) + 1/2/5 bypass bits for MPM hit 0 / hits 1-2 /
+    miss. Matches the reference's last-match-wins hit scan (no break in
+    the j loop)."""
+    import jax.numpy as jnp
+    m0, m1, m2 = _mpm_triplet(pml, pma)
     modes = jnp.arange(MODES, dtype=jnp.int32)
     bits = jnp.full(pml.shape + (MODES,), CTX_BIT + 5 * BIT, jnp.int32)
     bits = jnp.where(modes[None, :] == m0[:, None], CTX_BIT + BIT, bits)
@@ -170,15 +178,18 @@ def _scan_consts(sz: int, ctx_bit: int):
     return inv, tbl, stm
 
 
-def _lastxy_rate(sz: int, q):
-    """(..., 35, sz, sz) quant levels -> (..., 35) estimated last-XY rate
+def _lastxy_rate(sz: int, q, stv=None):
+    """(..., M, sz, sz) quant levels -> (..., M) estimated last-XY rate
     (<<15).
 
     Exact last significant scan position, computed gather-free: the inverse
     scan is a CONSTANT vector, so i_last = max(inv_scan * sig), and the rate
     at that position falls out of a one-hot sum against a constant per-pixel
     rate table. Mode-dependent scan types (sz <= 8) select among the three
-    per-type results. All-zero blocks (cbf=0) contribute 0."""
+    per-type results. All-zero blocks (cbf=0) contribute 0.
+
+    stv=None: the lane axis is all 35 modes (per-mode constant scan types).
+    stv (..., M) int32: per-lane scan types (RMD-preselected lanes)."""
     import jax.numpy as jnp
     inv, tbl, stm = _scan_consts(sz, CTX_BIT)
     nn = sz * sz
@@ -222,7 +233,8 @@ def _lastxy_rate(sz: int, q):
     if len(outs) == 1:
         bits = outs[0]
     else:
-        stv = jnp.asarray(stm)                        # (35,)
+        if stv is None:
+            stv = jnp.asarray(stm)                    # (35,)
         bits = jnp.where(stv == 1, outs[1],
                          jnp.where(stv == 2, outs[2], outs[0]))
     return jnp.where(nz, bits, 0)
@@ -321,6 +333,133 @@ def _eval_node(qpd6, A, orig, fl, pml, pma, y0, x0, sz, return_sub0=False):
     return out, (q0, r0, s0)
 
 
+def _topk_mask(cost, K: int):
+    """(..., M) int32 costs -> (..., K, M) bool order-preserving top-K
+    one-hots: row k selects the k-th SMALLEST-cost entry *in ascending index
+    order* (ties broken toward lower index, like sequential argmin rounds).
+    Gather-free: one sort for the K-th-smallest threshold + a cumsum rank.
+    K >= M degenerates to the identity — the RMD=(35, 35) configuration is
+    bit-identical to the dense evaluation (tested)."""
+    import jax.numpy as jnp
+    M = cost.shape[-1]
+    if K >= M:
+        eye = jnp.eye(M, dtype=bool)
+        return jnp.broadcast_to(eye, cost.shape[:-1] + (M, M))
+    thr = jnp.sort(cost, axis=-1)[..., K - 1:K]       # K-th smallest value
+    cand = cost <= thr
+    rank = jnp.cumsum(cand.astype(jnp.int32), -1) - 1
+    mask = cand & (rank < K)
+    ks = jnp.arange(K, dtype=jnp.int32)
+    return mask[..., None, :] & (rank[..., None, :] == ks[:, None])
+
+
+def _sel_i32(oh, v):
+    """one-hot select integer per-mode values: oh (..., K, 35) bool,
+    v (35,) or (..., 35) int -> (..., K) int32 (masked sum, single nonzero
+    term per row — exact, gather-free)."""
+    import jax.numpy as jnp
+    return (oh.astype(jnp.int32)
+            * jnp.asarray(v, jnp.int32)[..., None, :]).sum(-1)
+
+
+def _compress_u8(oh, x):
+    """compress the mode axis of a uint8 tensor through top-K one-hots:
+    oh (B, K, 35) bool, x (B, 35, sz, sz) u8 -> (B, K, sz, sz) u8. One bf16
+    MXU matmul — exact (pixels <= 255 are bf16-exact; the f32-accumulated
+    sum has a single nonzero term)."""
+    import jax.numpy as jnp
+    B, M = x.shape[0], x.shape[1]
+    nn = x.shape[-2] * x.shape[-1]
+    acc = jnp.einsum('bkm,bmp->bkp', oh.astype(jnp.bfloat16),
+                     x.reshape(B, M, nn).astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return acc.astype(jnp.uint8).reshape(B, oh.shape[-2], *x.shape[-2:])
+
+
+def _eval_node_rmd(qpd6, A, orig, fl, pml, pma, y0, x0, sz, K: int, T: int):
+    """RMD (rough-mode-decision) variant of _eval_node: preselect K of the
+    35 modes by SATD (+ forced planar/DC/MPMs), run the dense
+    fwd/RDOQ/rate/inv/recon pipeline on K modes only, and search the
+    TU-split layout on the top-T of those by 2Nx2N RD cost (the standard
+    HM/x265 preselection shape; src/HEVCe.c:1422-1484 searches all 35x2).
+    Every dense tensor in the hot pipeline shrinks 35 -> K (the front step
+    is HBM-traffic bound, ROADMAP round-4 plan); selection is deterministic
+    integer math, so CPU/TPU decision identity is preserved. Returns the
+    same (cost, lay, pm, quant, recon) contract as _eval_node."""
+    import jax.numpy as jnp
+    from jax import lax
+    from hevce_tpu.ops import intra
+    from hevce_tpu.ops import satd as satd_ops
+
+    top, left = _node_ctx(A, y0, x0, sz)
+    blk = lax.dynamic_slice(orig, (0, y0, x0), (orig.shape[0], sz, sz))
+    S = intra.build_borders(sz, top[..., 0], left, top[..., 1:],
+                            fl[..., 0], fl[..., 1], fl[..., 2], fl[..., 3])
+    pred35 = intra.predict_all_modes(sz, S)            # (B, 35, sz, sz) u8
+    resid = (blk[:, None].astype(jnp.int16) - pred35.astype(jnp.int16))
+    sat_d = satd_ops.block_satd(sz, resid)             # (B, 35) i32
+    # forced candidates always survive preselection: planar, DC, and the 3
+    # MPMs (they carry the cheap-signalling advantage SATD cannot see) —
+    # bias them below any unforced SATD, preserving order among themselves
+    m0, m1, m2 = _mpm_triplet(pml, pma)
+    modes = jnp.arange(MODES, dtype=jnp.int32)
+    forced = ((modes[None, :] <= 1) | (modes[None, :] == m0[:, None])
+              | (modes[None, :] == m1[:, None])
+              | (modes[None, :] == m2[:, None]))
+    ohK = _topk_mask(sat_d - (forced.astype(jnp.int32) << 29), K)
+    predK = _compress_u8(ohK, pred35)
+    qK, rK = cu_eval._pipeline(sz, qpd6, predK, blk)
+    sseK = rdcost.block_sse(blk[:, None], rK)
+
+    pmr35 = _pmode_rate(pml, pma)                      # (B, 35)
+    _, _, stm = _scan_consts(sz, CTX_BIT)
+    pmrK = _sel_i32(ohK, pmr35)
+    lastK = _lastxy_rate(sz, qK,
+                         stv=_sel_i32(ohK, stm) if sz <= 8 else None)
+    r1f = _est_rate(qK, (-1, -2)) + lastK + pmrK + HDR_LAY1_BINS * CTX_BIT
+    cost1 = rdcost.calc_rd_cost(qpd6, sseK, (r1f + HALF) >> 15)   # (B, K)
+
+    # TU-split searched only on the top-T modes by 2Nx2N RD cost (per-lane
+    # chained borders make a wider split search pay K-fold in prediction)
+    ohT_K = _topk_mask(cost1, min(T, K))               # (B, T, K)
+    ohT = (ohT_K[..., :, :, None] & ohK[..., None, :, :]).any(-2)  # (B,T,35)
+    q4, r4, s4 = cu_eval.eval_tusplit(sz, qpd6, top, left, fl, blk,
+                                      sel_oh=ohT)
+    h = sz // 2
+    _, _, stmh = _scan_consts(h, CTX_BIT)
+    stvT = _sel_i32(ohT, stmh) if h <= 8 else None
+    last3 = sum(_lastxy_rate(h, q4[..., k, :, :], stv=stvT)
+                for k in range(4))
+    pmrT = _sel_i32(ohT, pmr35)
+    r3f = _est_rate(q4, (-1, -2, -3)) + last3 + pmrT + HDR_LAY2_BINS * CTX_BIT
+    cost3 = rdcost.calc_rd_cost(qpd6, s4, (r3f + HALF) >> 15)     # (B, T)
+
+    Tn = cost3.shape[-1]
+    costs = jnp.concatenate([cost1, cost3], axis=1)    # (B, K+T)
+    sel = jnp.argmin(costs, axis=1).astype(jnp.int32)
+    cost = jnp.min(costs, axis=1)
+    lay = jnp.where(sel < K, 1, 2)
+    B = costs.shape[0]
+    nn = sz * sz
+    oh1 = (jnp.arange(K, dtype=jnp.int32)[None, :] == sel[:, None])
+    oh3 = (jnp.arange(Tn, dtype=jnp.int32)[None, :] == (sel[:, None] - K))
+    # winner mode in 35-space: route the K/T-space one-hot through the
+    # selection one-hots (single-True rows, so .any is an exact select)
+    moh = jnp.where((lay == 1)[:, None],
+                    (oh1[..., None] & ohK).any(-2),
+                    (oh3[..., None] & ohT).any(-2))    # (B, 35)
+    pm = (moh * modes[None, :]).sum(-1).astype(jnp.int32)
+    quant = ((qK.reshape(B, K, nn) * oh1.astype(jnp.int16)[:, :, None])
+             .sum(1, dtype=jnp.int16)
+             + (q4.reshape(B, Tn, nn) * oh3.astype(jnp.int16)[:, :, None])
+             .sum(1, dtype=jnp.int16))
+    recon = ((rK.reshape(B, K, nn) * oh1.astype(jnp.uint8)[:, :, None])
+             .sum(1, dtype=jnp.uint8)
+             + (r4.reshape(B, Tn, nn) * oh3.astype(jnp.uint8)[:, :, None])
+             .sum(1, dtype=jnp.uint8))
+    return cost, lay, pm, quant, recon.reshape(B, sz, sz)
+
+
 def _eval_nxn(qpd6, A, orig, fl8, pml, pma, pl_lo, pa_hi, y0, x0, sub0):
     """NxN partition of one 8x8 leaf: four independent 4x4 PUs, each
     35-mode-searched against the committed recon of earlier PUs (reference
@@ -342,7 +481,7 @@ def _eval_nxn(qpd6, A, orig, fl8, pml, pma, pl_lo, pa_hi, y0, x0, sub0):
     sub_pm, quants = [], []
     for isub, (dy, dx) in enumerate(_SUB):
         y, x = y0 + 4 * dy, x0 + 4 * dx
-        if isub == 0:
+        if isub == 0 and sub0 is not None:
             q, r, s = sub0           # == TU-split sub0's dense eval
         else:
             top, left = _node_ctx(local, y, x, 4)
@@ -378,8 +517,16 @@ def _eval_nxn(qpd6, A, orig, fl8, pml, pma, pl_lo, pa_hi, y0, x0, sub0):
             jnp.concatenate(quants, axis=-1), recon)
 
 
-def _make_front_core(qpd6: int, R: int):
+def _make_front_core(qpd6: int, R: int, rmd=None):
     """Build the (unjitted) per-front core for an R-row CTU grid.
+
+    rmd=None evaluates every node densely over all 35 modes x both TU
+    layouts (round-2/3 behavior). rmd=(K, T) switches every node to the
+    SATD-preselected RMD evaluation (_eval_node_rmd): the 2Nx2N pipeline
+    runs on K modes, the TU-split on the top-T by 2Nx2N cost, and the NxN
+    leaf partition evaluates its PU0 densely instead of reusing the
+    TU-split sub0 (which no longer spans all 35 modes). rmd=(35, 35) is
+    bit-identical to rmd=None (tested) — the masks degenerate to identity.
 
     Signature: (W, PME, o_col, d, C) -> (S_col, lay_col, pm_col, pm4_col,
     qc_col, pme_col) where
@@ -527,9 +674,14 @@ def _make_front_core(qpd6: int, R: int):
                 lcy, lcx = y8 // 4, x8 // 4
                 pml_n = _pix(PW, lcy + 1, lcx)
                 pma_n = _pix(PW, lcy, lcx + 1)
-                (c12, la12, p12, qb12, rc12), sub0 = _eval_node(
-                    qpd6, WQ, OQ, lf[li], pml_n, pma_n, y8, x8, 8,
-                    return_sub0=True)
+                if rmd is None:
+                    (c12, la12, p12, qb12, rc12), sub0 = _eval_node(
+                        qpd6, WQ, OQ, lf[li], pml_n, pma_n, y8, x8, 8,
+                        return_sub0=True)
+                else:
+                    c12, la12, p12, qb12, rc12 = _eval_node_rmd(
+                        qpd6, WQ, OQ, lf[li], pml_n, pma_n, y8, x8, 8, *rmd)
+                    sub0 = None
                 pl_lo = _pix(PW, lcy + 2, lcx)
                 pa_hi = _pix(PW, lcy, lcx + 2)
                 cN, pm4_i, qbN, rcN = _eval_nxn(
@@ -555,8 +707,12 @@ def _make_front_core(qpd6: int, R: int):
             # which the leaf commits never touch
             pml_n = _pix(PW, 1, 0)
             pma_n = _pix(PW, 0, 1)
-            c, la, p, qb, rc = _eval_node(
-                qpd6, WQ, OQ, qf, pml_n, pma_n, 0, 0, 16)
+            if rmd is None:
+                c, la, p, qb, rc = _eval_node(
+                    qpd6, WQ, OQ, qf, pml_n, pma_n, 0, 0, 16)
+            else:
+                c, la, p, qb, rc = _eval_node_rmd(
+                    qpd6, WQ, OQ, qf, pml_n, pma_n, 0, 0, 16, *rmd)
             split_c = sat_add(lsum, split_bit)
             own = c < split_c
             cost_q = jnp.where(own, c, split_c)
@@ -581,8 +737,12 @@ def _make_front_core(qpd6: int, R: int):
         fl32 = jnp.stack(ctu_fl, -1)
         pml_n = _pix(P, 1, 0)
         pma_n = _pix(P, 0, 1)
-        c, la, p, qb, rc = _eval_node(
-            qpd6, A, orig, fl32, pml_n, pma_n, 0, 0, 32)
+        if rmd is None:
+            c, la, p, qb, rc = _eval_node(
+                qpd6, A, orig, fl32, pml_n, pma_n, 0, 0, 32)
+        else:
+            c, la, p, qb, rc = _eval_node_rmd(
+                qpd6, A, orig, fl32, pml_n, pma_n, 0, 0, 32, *rmd)
         split_cost = cost16[0]
         for t in (cost16[1], cost16[2], cost16[3]):
             split_cost = sat_add(split_cost, t)
@@ -653,9 +813,28 @@ def _host_cksum(flat):
     return (flat.astype(np.int32) * w).sum(axis=-1, dtype=np.int32)
 
 
+# Production default for the RMD preselection (None = dense 35-mode search;
+# override per call via rmd=, or globally via HEVCE_RMD="K,T" / "off").
+RMD_DEFAULT = None
+_RMD_ENV = object()                    # sentinel: resolve from env/default
+
+
+def _resolve_rmd(rmd):
+    if rmd is not _RMD_ENV:
+        return rmd
+    import os
+    v = os.environ.get("HEVCE_RMD", "").strip().lower()
+    if not v:
+        return RMD_DEFAULT
+    if v in ("off", "none", "0"):
+        return None
+    k, t = (int(s) for s in v.split(","))
+    return (max(1, min(k, MODES)), max(1, min(t, k)))
+
+
 @functools.lru_cache(maxsize=None)
 def _slice_runner_cache(qpd6: int, R: int, Cc: int, want_recon: bool,
-                        mesh=None, fetch_qc: bool = True):
+                        mesh=None, fetch_qc: bool = True, rmd=None):
     """Whole-slice runner: device-side skew of the raster input tiles, one
     lax.scan over front-major columns with a 3-column recon window + pmode
     edge carry (see _make_front_core for why), then device-side UNSKEW and
@@ -690,7 +869,7 @@ def _slice_runner_cache(qpd6: int, R: int, Cc: int, want_recon: bool,
     import jax.numpy as jnp
     from jax import lax
 
-    core = _make_front_core(qpd6, R)
+    core = _make_front_core(qpd6, R, rmd)
     D = 2 * (R - 1) + Cc
 
     def run(O):
@@ -796,7 +975,7 @@ def _orig_tiles_raster(imgs, yp, xp):
 
 
 def _dispatch_batch(images, qpd6: int, mesh=None, want_recon=True,
-                    fetch_qc=False):
+                    fetch_qc=False, rmd=_RMD_ENV):
     """Upload + dispatch the slice runner for one same-shaped batch (async —
     JAX queues the execution; nothing blocks). Returns (out, meta). With a
     mesh, the batch axis is sharded over its 'img' axis (B must divide).
@@ -818,7 +997,7 @@ def _dispatch_batch(images, qpd6: int, mesh=None, want_recon=True,
     # replay produces the recon) — normalize the cache key so the
     # want_recon=False production pass reuses the warm-pass compilation
     run = _slice_runner_cache(qpd6, R, Cc, want_recon and fetch_qc, mesh,
-                              fetch_qc)
+                              fetch_qc, _resolve_rmd(rmd))
     out = run(O)
     return out, (images, qpd6, ysz, xsz, yp, xp, R, Cc)
 
@@ -906,7 +1085,7 @@ def _finish_batch(out, meta, want_recon, timer, fetch_qc=False):
 
 
 def encode_batch_fast(images, qpd6: int, timer=None, want_recon=True,
-                      mesh=None, fetch_qc=False):
+                      mesh=None, fetch_qc=False, rmd=_RMD_ENV):
     """Wavefront fast mode: encode B same-shaped uint8 grayscale images.
 
     Returns (streams, recons) like lockstep.encode_batch. Streams are
@@ -936,7 +1115,8 @@ def encode_batch_fast(images, qpd6: int, timer=None, want_recon=True,
         from hevce_tpu.utils.tracing import PhaseTimer
         timer = PhaseTimer()
     with timer.phase("device_fronts"):
-        out, meta = _dispatch_batch(images, qpd6, mesh, want_recon, fetch_qc)
+        out, meta = _dispatch_batch(images, qpd6, mesh, want_recon, fetch_qc,
+                                    rmd)
         if fetch_qc:
             # block_until_ready can return early on the tunneled axon backend
             # (CLAUDE.md) — a real fetch of the tiny sideband is the only
@@ -948,7 +1128,8 @@ def encode_batch_fast(images, qpd6: int, timer=None, want_recon=True,
 
 
 def encode_many_fast(images, qpd6: int, batch: int = 8, timer=None,
-                     want_recon=True, mesh=None, fetch_qc=False):
+                     want_recon=True, mesh=None, fetch_qc=False,
+                     rmd=_RMD_ENV):
     """Throughput-oriented fast-mode encode of a mixed-shape image list.
 
     Groups images by shape into batches of `batch` and PIPELINES the
@@ -992,7 +1173,7 @@ def encode_many_fast(images, qpd6: int, batch: int = 8, timer=None,
             batch_imgs = batch_imgs + [batch_imgs[-1]] * pad
         with timer.phase("dispatch"):
             out, meta = _dispatch_batch(batch_imgs, qpd6, mesh, want_recon,
-                                        fetch_qc)
+                                        fetch_qc, rmd)
         return out, meta, idx, n_real
 
     def place(p_idx, n_real, s, r):
