@@ -334,21 +334,29 @@ def _eval_node(qpd6, A, orig, fl, pml, pma, y0, x0, sz, return_sub0=False):
 
 
 def _topk_mask(cost, K: int):
-    """(..., M) int32 costs -> (..., K, M) bool order-preserving top-K
-    one-hots: row k selects the k-th SMALLEST-cost entry *in ascending index
-    order* (ties broken toward lower index, like sequential argmin rounds).
-    Gather-free: one sort for the K-th-smallest threshold + a cumsum rank.
+    """(..., M) int32 costs -> (..., K, M) bool top-K one-hots. The selected
+    SET equals K sequential argmin rounds (ties broken toward lower index);
+    row k enumerates that set in ascending INDEX order (so downstream argmin
+    tie-breaks toward the lower original index, matching the dense path).
+    Gather-free: one sort for the K-th-smallest threshold, then keep every
+    strictly-smaller entry unconditionally and admit threshold TIES in index
+    order only up to the K-slot budget — trimming by index over ALL
+    candidates (not just ties) would drop strictly better high-index entries
+    when ties exist at the threshold (tests/test_wavefront.py oracle).
     K >= M degenerates to the identity — the RMD=(35, 35) configuration is
-    bit-identical to the dense evaluation (tested)."""
+    bit-identical to the dense evaluation (tested:
+    test_fast_mode_rmd_full_is_dense_identity)."""
     import jax.numpy as jnp
     M = cost.shape[-1]
     if K >= M:
         eye = jnp.eye(M, dtype=bool)
         return jnp.broadcast_to(eye, cost.shape[:-1] + (M, M))
     thr = jnp.sort(cost, axis=-1)[..., K - 1:K]       # K-th smallest value
-    cand = cost <= thr
-    rank = jnp.cumsum(cand.astype(jnp.int32), -1) - 1
-    mask = cand & (rank < K)
+    strict = cost < thr
+    tie = cost == thr
+    budget = K - strict.sum(-1, keepdims=True)        # >= 1 tie always fits
+    mask = strict | (tie & (jnp.cumsum(tie.astype(jnp.int32), -1) <= budget))
+    rank = jnp.cumsum(mask.astype(jnp.int32), -1) - 1
     ks = jnp.arange(K, dtype=jnp.int32)
     return mask[..., None, :] & (rank[..., None, :] == ks[:, None])
 
@@ -526,7 +534,8 @@ def _make_front_core(qpd6: int, R: int, rmd=None):
     runs on K modes, the TU-split on the top-T by 2Nx2N cost, and the NxN
     leaf partition evaluates its PU0 densely instead of reusing the
     TU-split sub0 (which no longer spans all 35 modes). rmd=(35, 35) is
-    bit-identical to rmd=None (tested) — the masks degenerate to identity.
+    bit-identical to rmd=None (tested: test_fast_mode_rmd_full_is_dense_
+    identity) — the masks degenerate to identity.
 
     Signature: (W, PME, o_col, d, C) -> (S_col, lay_col, pm_col, pm4_col,
     qc_col, pme_col) where
@@ -828,8 +837,15 @@ def _resolve_rmd(rmd):
         return RMD_DEFAULT
     if v in ("off", "none", "0"):
         return None
-    k, t = (int(s) for s in v.split(","))
-    return (max(1, min(k, MODES)), max(1, min(t, k)))
+    try:
+        ks, ts = v.split(",")
+        k, t = int(ks), int(ts)
+    except ValueError:
+        raise ValueError(
+            f"HEVCE_RMD must be 'K,T' (e.g. '12,4'), 'off', or unset; "
+            f"got {v!r}") from None
+    k = max(1, min(k, MODES))               # clamp K first, then T against it
+    return (k, max(1, min(t, k)))
 
 
 @functools.lru_cache(maxsize=None)

@@ -249,8 +249,17 @@ def simulate_chunked(state, ops, nops):
     """simulate() that stops after the last real op across all lanes.
 
     ops: (lanes, L) with L a multiple of CHUNK; nops: (lanes,) actual op
-    counts. The padded cap only bounds memory — runtime is proportional to
-    max(nops) rounded up to a chunk, via a while_loop over CHUNK-step scans.
+    counts. The padded cap only bounds memory — only chunks below
+    max(nops) (rounded up) execute the inner scan; later chunks take the
+    identity branch of a lax.cond.
+
+    The chunk counter rides xs (an iota), NEVER the carry: a carried
+    counter that the body both uses and increments is the TPU while-loop
+    aliasing hazard root-caused in round 3 (models/wavefront.py front
+    scan — the body read the already-incremented value). The previous
+    while_loop form here carried exactly that pattern; it happened to
+    verify bit-exact on v5e once, but the rule is now structural
+    (CLAUDE.md): no scan/while counter consumed by its own body.
     """
     lanes, L = ops.shape
     if L % CHUNK:
@@ -260,17 +269,16 @@ def simulate_chunked(state, ops, nops):
     ops_t = jnp.swapaxes(ops, 0, 1)              # (L_padded, lanes)
     nchunks = (jnp.max(nops) + CHUNK - 1) // CHUNK
 
-    def cond(carry):
-        i, _ = carry
-        return i < nchunks
+    def body(st, i):
+        def run(s):
+            sl = jax.lax.dynamic_slice(ops_t, (i * CHUNK, 0), (CHUNK, lanes))
+            s2, _ = jax.lax.scan(_step, s, sl)
+            return s2
+        return jax.lax.cond(i < nchunks, run, lambda s: s, st), None
 
-    def body(carry):
-        i, st = carry
-        sl = jax.lax.dynamic_slice(ops_t, (i * CHUNK, 0), (CHUNK, lanes))
-        st2, _ = jax.lax.scan(_step, st, sl)
-        return i + 1, st2
-
-    _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    n_total = ops_t.shape[0] // CHUNK
+    final, _ = jax.lax.scan(body, state,
+                            jnp.arange(n_total, dtype=jnp.int32))
     return final
 
 

@@ -3,6 +3,10 @@ run without TPU hardware. Must run before jax is imported anywhere."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# a stray HEVCE_RMD would silently change every fast-mode encode under test
+# (golden comparisons would diagnose as mysterious decision diffs) — pin the
+# suite to the in-repo defaults; tests that want RMD pass rmd= explicitly
+os.environ.pop("HEVCE_RMD", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -190,6 +190,107 @@ def test_fast_mode_odd_dims_and_qpd6_sweep():
         np.testing.assert_array_equal(decode_stream(s), r)
 
 
+def test_satd_matches_hadamard_oracle():
+    """block_satd (int8-digit-split MXU matmuls) vs a direct numpy
+    Walsh-Hadamard oracle: sum |H @ r @ H| — exact at every CU size for
+    full-range residuals (|r| <= 255), the RMD preselection's metric."""
+    import jax.numpy as jnp
+    from hevce_tpu.ops.satd import block_satd
+
+    rng = np.random.default_rng(7)
+    for sz in (4, 8, 16, 32):
+        r = rng.integers(-255, 256, (5, 3, sz, sz)).astype(np.int32)
+        h = np.array([[1]], np.int64)
+        while h.shape[0] < sz:
+            h = np.block([[h, h], [h, -h]])
+        exp = np.abs(np.einsum("ij,bmjk,kl->bmil", h, r.astype(np.int64), h)
+                     ).sum((-1, -2))
+        got = np.asarray(block_satd(sz, jnp.asarray(r)))
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_topk_mask_matches_sequential_argmin():
+    """_topk_mask's selected SET must equal K sequential argmin rounds
+    (ties toward lower index) and its rows must enumerate that set in
+    ascending index order — including heavy ties at the K-th-smallest
+    threshold (the round-3 advisor repro: trimming candidates by index
+    dropped a strictly smaller high-index cost in favor of a tie)."""
+    import jax.numpy as jnp
+    from hevce_tpu.models.wavefront import _topk_mask
+
+    def oracle_set(c, K):
+        c = c.astype(np.int64).copy()
+        picked = []
+        for _ in range(K):
+            i = int(np.argmin(c))           # ties toward lower index
+            picked.append(i)
+            c[i] = np.iinfo(np.int64).max
+        return sorted(picked)
+
+    cases = [(np.array([[4, 0, 2, 5, 3, 0, 4, 4, 5, 1]], np.int32), 7)]
+    rng = np.random.default_rng(11)
+    for K in (1, 2, 5, 11, 35):
+        cases.append((rng.integers(0, 6, (8, 35)).astype(np.int32), K))
+        cases.append((rng.integers(0, 10**6, (8, 35)).astype(np.int32), K))
+    for cost, K in cases:
+        oh = np.asarray(_topk_mask(jnp.asarray(cost), K))
+        assert oh.shape == cost.shape[:-1] + (K, cost.shape[-1])
+        for b in range(cost.shape[0]):
+            rows = [int(np.flatnonzero(oh[b, k])[0]) for k in range(K)]
+            assert all(oh[b, k].sum() == 1 for k in range(K))
+            assert rows == sorted(rows), "rows must ascend by index"
+            assert rows == oracle_set(cost[b], K), (cost[b], K, rows)
+
+
+def test_fast_mode_rmd_full_is_dense_identity():
+    """rmd=(35, 35) must be BIT-IDENTICAL to the dense rmd=None evaluation
+    (the preselection masks degenerate to the identity) — the invariant the
+    _eval_node_rmd/_make_front_core docstrings promise. Mixed content: noise
+    exercises NxN/TU-split leaves, the gradient large CUs."""
+    rng = np.random.default_rng(31)
+    noise = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+    yy, xx = np.mgrid[0:64, 0:96]
+    smooth = ((yy * 2 + xx) % 256).astype(np.uint8)
+    s_d, r_d = encode_batch_fast([noise, smooth], 2, rmd=None)
+    s_f, r_f = encode_batch_fast([noise, smooth], 2, rmd=(35, 35))
+    assert s_f == s_d
+    for a, b in zip(r_f, r_d):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fast_mode_rmd_preselected_valid():
+    """RMD with a real preselection (K=10, T=3) must still produce
+    standard-compliant streams that decode bit-exactly to the returned
+    recon, and stay within a loose quality envelope of the dense search."""
+    rng = np.random.default_rng(33)
+    noise = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    yy, xx = np.mgrid[0:64, 0:64]
+    smooth = ((yy * 2 + xx) % 256).astype(np.uint8)
+    s, r = encode_batch_fast([noise, smooth], 2, rmd=(10, 3))
+    for st, rc in zip(s, r):
+        np.testing.assert_array_equal(decode_stream(st), rc)
+    s_d, r_d = encode_batch_fast([noise, smooth], 2, rmd=None)
+    for img, rc, rcd, st, std in zip((noise, smooth), r, r_d, s, s_d):
+        assert _psnr(rc, img) > _psnr(rcd, img) - 0.5
+        assert len(st) < len(std) * 1.10 + 16
+
+
+def test_resolve_rmd_env(monkeypatch):
+    from hevce_tpu.models import wavefront as wf
+    monkeypatch.setenv("HEVCE_RMD", "12,4")
+    assert wf._resolve_rmd(wf._RMD_ENV) == (12, 4)
+    monkeypatch.setenv("HEVCE_RMD", "100,50")   # clamp K first, then T <= K
+    assert wf._resolve_rmd(wf._RMD_ENV) == (35, 35)
+    monkeypatch.setenv("HEVCE_RMD", "off")
+    assert wf._resolve_rmd(wf._RMD_ENV) is None
+    monkeypatch.setenv("HEVCE_RMD", "8")
+    with pytest.raises(ValueError, match="HEVCE_RMD"):
+        wf._resolve_rmd(wf._RMD_ENV)
+    # explicit rmd= bypasses the env entirely
+    assert wf._resolve_rmd((10, 3)) == (10, 3)
+    assert wf._resolve_rmd(None) is None
+
+
 def test_lastxy_rate_oracle():
     """The gather-free last-XY + sig-map rate estimate (sub-bit pricing +
     CG-aware refinement, wavefront.py module docs) equals a direct numpy
