@@ -843,15 +843,6 @@ static void inv_xform(const i32* src, i32* dst) {
     matmul_axpy<N, true>(12, tmp, MT.mat(N), dst);        // @ M
 }
 
-static void forward_transform(i32 sz, const i32* src, i32* dst) {
-    switch (sz) {
-        case 4: fwd_xform<4>(src, dst); break;
-        case 8: fwd_xform<8>(src, dst); break;
-        case 16: fwd_xform<16>(src, dst); break;
-        default: fwd_xform<32>(src, dst); break;
-    }
-}
-
 static void inverse_transform(i32 sz, const i32* src, i32* dst) {
     switch (sz) {
         case 4: inv_xform<4>(src, dst); break;
@@ -960,15 +951,6 @@ static void quantize_t(i32 qpd6, const i32* __restrict src, i32* __restrict dst)
                 for (i32 y = yc; y < yc + 4; y++)
                     for (i32 x = xc; x < xc + 4; x++) dst[y * sz + x] = 0;
         }
-}
-
-static void quantize(i32 qpd6, i32 sz, const i32* __restrict src, i32* __restrict dst) {
-    switch (sz) {
-        case 4: quantize_t<4>(qpd6, src, dst); break;
-        case 8: quantize_t<8>(qpd6, src, dst); break;
-        case 16: quantize_t<16>(qpd6, src, dst); break;
-        default: quantize_t<32>(qpd6, src, dst); break;
-    }
 }
 
 static void dequantize(i32 qpd6, i32 sz, const i32* src, i32* dst) {

@@ -57,6 +57,7 @@ pathologically, CLAUDE.md) and no per-front dynamic slicing of the big
 skewed arrays (measured to dominate the step cost on v5e).
 """
 import functools
+import os
 
 import numpy as np
 
@@ -78,8 +79,27 @@ DC = 1
 # (measured: image 13 exact picks 8x8 TU-split 1521 times, the 1-bit model
 # 176). CTX_BIT was tuned on a 6-image Kodak subset (see ROADMAP round 3).
 BIT = 1 << 15
-CTX_BIT = 24576               # 0.75 bit per context bin
-SIG_ZERO = 9830               # 0.30 bit per scanned zero before last-sig
+
+
+def _env_bits(name: str, default: int) -> int:
+    """Rate-model knob override in BITS (float), e.g. HEVCE_CTX_BIT=0.80.
+    Read once at import; the knobs reshape every compiled front core, so
+    they are process-level by design (tests pin them in conftest)."""
+    v = os.environ.get(name, "").strip()
+    if not v:
+        return default
+    try:
+        bits = float(v)
+    except ValueError:
+        raise ValueError(f"{name} must be a float bit count, got {v!r}") \
+            from None
+    if not 0.0 <= bits <= 4.0:
+        raise ValueError(f"{name}={bits} outside the sane [0, 4] bit range")
+    return int(round(bits * BIT))
+
+
+CTX_BIT = _env_bits("HEVCE_CTX_BIT", 24576)   # 0.75 bit per context bin
+SIG_ZERO = _env_bits("HEVCE_SIG_ZERO", 9830)  # 0.30 bit per pre-last zero
 CG_BIN = CTX_BIT              # sig_cg flag of a middle coefficient group
 HALF = 1 << 14                # fixed->integer-bit rounding
 # per-layout header context-bin counts: a non-split CU writes split_cu

@@ -7,6 +7,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # (golden comparisons would diagnose as mysterious decision diffs) — pin the
 # suite to the in-repo defaults; tests that want RMD pass rmd= explicitly
 os.environ.pop("HEVCE_RMD", None)
+os.environ.pop("HEVCE_CTX_BIT", None)   # rate-model knobs: same reasoning
+os.environ.pop("HEVCE_SIG_ZERO", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
