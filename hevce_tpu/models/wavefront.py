@@ -1310,24 +1310,46 @@ def encode_many_exact(images, qpd6: int, nthreads: int = 0, timer=None,
 
 
 @functools.lru_cache(maxsize=None)
-def front_macs_per_ctu() -> int:
+def front_macs_per_ctu(rmd=None) -> int:
     """Lower-bound MXU MAC count of the front core per CTU: the constant-
     matrix intra-prediction matmuls plus the digit-split transform matmuls
     (5 int8 matmuls forward, 6 inverse — ops/xform.exact_matmul digit
     counts). Elementwise RDOQ/SSE/rate-estimate work is excluded, so the
-    bench's device-utilization number is a conservative lower bound."""
+    bench's device-utilization number is a conservative lower bound.
+
+    rmd=(K, T) counts the RMD-preselected core (_eval_node_rmd): SATD
+    Hadamard matmuls added, pipeline on K modes, TU-split on T lanes."""
     from hevce_tpu.ops import intra
 
     def predict(sz):
         w = intra._angular_matrix(sz)              # (35, sz*sz, n_border)
         return int(w.shape[0]) * int(w.shape[1]) * int(w.shape[2])
 
-    def xf(sz):
-        return 11 * MODES * sz ** 3
+    def xf(sz, m=MODES):                           # fwd 5 + inv 6 digit matmuls
+        return 11 * m * sz ** 3
 
-    def node(sz):                                  # _eval_node: 2Nx2N + TU-split
+    def satd(sz):                                  # 2 Hadamard exact_matmuls,
+        return MODES * 4 * sz ** 3                 # 2 int8 digits each
+
+    if rmd is None:
+        def node(sz):                              # _eval_node: 2Nx2N + TU-split
+            h = sz // 2
+            return predict(sz) + xf(sz) + 4 * (predict(h) + xf(h))
+
+        pu4 = predict(4) + xf(4)                   # one extra 4x4 PU pipeline
+        return 16 * (node(8) + 3 * pu4) + 4 * node(16) + node(32)
+
+    K, T = rmd
+    K, T = min(K, MODES), min(min(T, K), MODES)
+
+    def node(sz):                                  # _eval_node_rmd
         h = sz // 2
-        return predict(sz) + xf(sz) + 4 * (predict(h) + xf(h))
+        # all-35 prediction feeds the SATD ranking; the pipeline runs on K
+        # modes; the TU-split runs on T lanes, each predicting all 35 modes
+        # from its own chained borders (_select_pred one-hot selection)
+        return (predict(sz) + satd(sz) + xf(sz, K)
+                + 4 * (T * predict(h) + xf(h, T)))
 
-    pu4 = predict(4) + xf(4)                       # one extra 4x4 PU pipeline
-    return 16 * (node(8) + 3 * pu4) + 4 * node(16) + node(32)
+    pu4 = predict(4) + xf(4)
+    # NxN evaluates all four PUs densely (no TU-split sub0 reuse under RMD)
+    return 16 * (node(8) + 4 * pu4) + 4 * node(16) + node(32)

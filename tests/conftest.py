@@ -25,12 +25,37 @@ os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+import gc
 import pathlib
 
 import numpy as np
 import pytest
 
 DATA = pathlib.Path(__file__).parent / "data"
+
+
+def _nmaps():
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:          # non-Linux: no map-count limit to guard
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _xla_map_guard():
+    """Every live XLA:CPU executable holds thousands of mmap regions; a full
+    suite run accumulates past vm.max_map_count (65530) at ~60 tests, and the
+    NEXT fresh compile segfaults inside backend_compile_and_load when mmap
+    fails (root-caused round 4: maps=64619 sampled right before the rc=139).
+    Dropping the in-process executable caches releases the maps (measured
+    6035 -> 493); the persistent .jaxcache keeps re-jits cheap."""
+    if _nmaps() > 35_000:
+        import jax
+
+        jax.clear_caches()
+        gc.collect()
+    yield
 
 
 @pytest.fixture(scope="session")

@@ -26,10 +26,15 @@ import sys
 import time
 
 _CHILD = """
-import json, sys, time
+import json, os, sys, time
 import numpy as np
 import jax
 jax.config.update('jax_platforms', 'cpu')
+cache = os.environ.get('HEVCE_AB_CACHE')
+if cache:
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 from hevce_tpu.utils.imageio import read_pgm
 from hevce_tpu.models.wavefront import encode_many_fast
 
@@ -77,6 +82,9 @@ def run_config(label, rmd, ctx, sig, files, qpd6):
     env.pop("HEVCE_RMD", None)
     env.pop("HEVCE_CTX_BIT", None)
     env.pop("HEVCE_SIG_ZERO", None)
+    env["HEVCE_AB_CACHE"] = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jaxcache")
     if rmd:
         env["HEVCE_RMD"] = rmd
     if ctx:
