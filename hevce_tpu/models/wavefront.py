@@ -844,7 +844,11 @@ def _host_cksum(flat):
 
 # Production default for the RMD preselection (None = dense 35-mode search;
 # override per call via rmd=, or globally via HEVCE_RMD="K,T" / "off").
-RMD_DEFAULT = None
+# (12, 4) measured round 4 on the full Kodak-24 vs dense: -0.003 dB mean /
+# +0.07% size for 1.75x device throughput (7.04 vs 4.01 MP/s on v5e) and
+# 1.5x even on the CPU backend — quality cost is negligible at every knob
+# point tried, so preselection is the production default (ROADMAP round-4).
+RMD_DEFAULT = (12, 4)
 _RMD_ENV = object()                    # sentinel: resolve from env/default
 
 
