@@ -186,6 +186,11 @@ struct CabacEnc {
         }
     }
 
+    // ctx-index form shared with the trial-op recorder (see OpRecorder)
+    __attribute__((always_inline)) inline void bin(CtxSet& c, i32 idx, i32 b) {
+        bin(&c.v[idx], b);
+    }
+
     __attribute__((always_inline)) inline void bin(u8* ctx, i32 b) {
         // branchless LPS/MPS select: the bin value is ~50/50 in trial
         // encodes, so the data-dependent branch mispredicts heavily
@@ -342,12 +347,17 @@ static const u8 kLastSft[2][5] = {{0, 1, 1, 0, 1}, {0, 1, 2, 0, 3}};
 static const u8 kSig4[4][4] = {{0, 1, 4, 5}, {2, 3, 4, 5}, {6, 6, 8, 8}, {7, 7, 8, 8}};
 static const u8 kSigPos[7] = {2, 1, 1, 0, 0, 0, 0};
 
-static inline void put_split_cu(CabacEnc& e, CtxSet& c, i32 sz, i32 split, i32 gl, i32 ga) {
-    if (sz >= 16) e.bin(&c.v[CTX_SPLIT_CU + (gl ? 1 : 0) + (ga ? 1 : 0)], split);
+// The put_* writers are templated over the sink: CabacEnc (live encode /
+// count-only trial) or OpRecorder (records the state-independent bin
+// sequence for the lane-parallel vector trial coder below).
+template <class S>
+static inline void put_split_cu(S& e, CtxSet& c, i32 sz, i32 split, i32 gl, i32 ga) {
+    if (sz >= 16) e.bin(c, CTX_SPLIT_CU + (gl ? 1 : 0) + (ga ? 1 : 0), split);
 }
 
-static inline void put_part_size(CabacEnc& e, CtxSet& c, i32 sz, i32 nxn) {
-    if (sz == 8) e.bin(&c.v[CTX_PARTSIZE], nxn ? 0 : 1);
+template <class S>
+static inline void put_part_size(S& e, CtxSet& c, i32 sz, i32 nxn) {
+    if (sz == 8) e.bin(c, CTX_PARTSIZE, nxn ? 0 : 1);
 }
 
 static void probable_modes(i32 left, i32 above, i32 out[3]) {
@@ -365,14 +375,15 @@ static void probable_modes(i32 left, i32 above, i32 out[3]) {
     }
 }
 
-static void put_y_pmode(CabacEnc& e, CtxSet& c, int n, const i32* pm, const i32* pl, const i32* pa) {
+template <class S>
+static void put_y_pmode(S& e, CtxSet& c, int n, const i32* pm, const i32* pl, const i32* pa) {
     i32 mpm[4][3], hit[4];
     for (int i = 0; i < n; i++) {
         probable_modes(pl[i], pa[i], mpm[i]);
         hit[i] = -1;
         for (int j = 0; j < 3; j++)
             if (mpm[i][j] == pm[i]) hit[i] = j;
-        e.bin(&c.v[CTX_Y_PMODE], hit[i] >= 0);
+        e.bin(c, CTX_Y_PMODE, hit[i] >= 0);
     }
     for (int i = 0; i < n; i++) {
         if (hit[i] >= 0) {
@@ -387,29 +398,33 @@ static void put_y_pmode(CabacEnc& e, CtxSet& c, int n, const i32* pm, const i32*
     }
 }
 
-static inline void put_uv_pmode(CabacEnc& e, CtxSet& c) { e.bin(&c.v[CTX_UV_PMODE], 0); }
+template <class S>
+static inline void put_uv_pmode(S& e, CtxSet& c) { e.bin(c, CTX_UV_PMODE, 0); }
 
-static inline void put_split_tu(CabacEnc& e, CtxSet& c, i32 sz, i32 split) {
-    if (sz == 32) e.bin(&c.v[CTX_SPLIT_TU + 0], split);
-    else if (sz == 16) e.bin(&c.v[CTX_SPLIT_TU + 1], split);
-    else if (sz == 8) e.bin(&c.v[CTX_SPLIT_TU + 2], split);
+template <class S>
+static inline void put_split_tu(S& e, CtxSet& c, i32 sz, i32 split) {
+    if (sz == 32) e.bin(c, CTX_SPLIT_TU + 0, split);
+    else if (sz == 16) e.bin(c, CTX_SPLIT_TU + 1, split);
+    else if (sz == 8) e.bin(c, CTX_SPLIT_TU + 2, split);
 }
 
-static inline void put_qt_cbf(CabacEnc& e, CtxSet& c, i32 depth, bool chroma, i32 cbf) {
-    if (chroma) e.bin(&c.v[CTX_UV_QT_CBF + depth], cbf);
-    else e.bin(&c.v[CTX_Y_QT_CBF + (depth ? 0 : 1)], cbf);
+template <class S>
+static inline void put_qt_cbf(S& e, CtxSet& c, i32 depth, bool chroma, i32 cbf) {
+    if (chroma) e.bin(c, CTX_UV_QT_CBF + depth, cbf);
+    else e.bin(c, CTX_Y_QT_CBF + (depth ? 0 : 1), cbf);
 }
 
-static void put_last_xy(CabacEnc& e, CtxSet& c, i32 sz, bool chroma, int stype, i32 y, i32 x) {
+template <class S>
+static void put_last_xy(S& e, CtxSet& c, i32 sz, bool chroma, int stype, i32 y, i32 x) {
     int szi = sz / 8;
     i32 addr = kLastAddr[chroma][szi], sft = kLastSft[chroma][szi];
     i32 ty = (stype == SCAN_VER) ? x : y;
     i32 tx = (stype == SCAN_VER) ? y : x;
     i32 gy = kGroupIdx[ty], gx = kGroupIdx[tx], gmax = kGroupIdx[sz - 1];
-    for (i32 i = 0; i < gx; i++) e.bin(&c.v[CTX_LAST_X + 5 * addr + (i >> sft)], 1);
-    if (gx < gmax) e.bin(&c.v[CTX_LAST_X + 5 * addr + (gx >> sft)], 0);
-    for (i32 i = 0; i < gy; i++) e.bin(&c.v[CTX_LAST_Y + 5 * addr + (i >> sft)], 1);
-    if (gy < gmax) e.bin(&c.v[CTX_LAST_Y + 5 * addr + (gy >> sft)], 0);
+    for (i32 i = 0; i < gx; i++) e.bin(c, CTX_LAST_X + 5 * addr + (i >> sft), 1);
+    if (gx < gmax) e.bin(c, CTX_LAST_X + 5 * addr + (gx >> sft), 0);
+    for (i32 i = 0; i < gy; i++) e.bin(c, CTX_LAST_Y + 5 * addr + (i >> sft), 1);
+    if (gy < gmax) e.bin(c, CTX_LAST_Y + 5 * addr + (gy >> sft), 0);
     if (gx > 3) {
         tx -= kMinInGroup[gx];
         for (i32 i = ((gx - 2) >> 1) - 1; i >= 0; i--) e.bypass((tx >> i) & 1, 1);
@@ -438,7 +453,8 @@ static inline i32 sig_ctx_idx(i32 sz, bool chroma, int stype, i32 y, i32 x, i32 
     }
 }
 
-static void put_exgolomb(CabacEnc& e, i32 value, i32 rparam) {
+template <class S>
+static void put_exgolomb(S& e, i32 value, i32 rparam) {
     if (value < (3 << rparam)) {
         i32 len = value >> rparam;
         e.bypass((1 << (len + 1)) - 2, len + 1);
@@ -454,8 +470,8 @@ static void put_exgolomb(CabacEnc& e, i32 value, i32 rparam) {
 }
 
 // full residual coding of a quantized TU; blk has stride = sz
-template <int SZ>
-static void put_coef_t(CabacEnc& e, CtxSet& c, bool chroma, i32 pmode, const i32* blk) {
+template <int SZ, class S>
+static void put_coef_t(S& e, CtxSet& c, bool chroma, i32 pmode, const i32* blk) {
     constexpr i32 sz = SZ;
     const uint16_t* scan;
     int stype = scan_select(sz, pmode, &scan);
@@ -499,11 +515,11 @@ static void put_coef_t(CabacEnc& e, CtxSet& c, bool chroma, i32 pmode, const i32
             nnz = 0;
             signs = 0;
             if (!first_cg && !is_final)
-                e.bin(&c.v[CTX_SIG_MAP + (sctx != 0)], sig_cg);
+                e.bin(c, CTX_SIG_MAP + (sctx != 0), sig_cg);
         }
         if (!is_final && (first_cg || (sig_cg && (!first_in_cg || nnz > 0)))) {
             i32 idx = chroma ? sig_ctx_idx(sz, chroma, stype, y, x, sctx) : sigtab[i];
-            e.bin(&c.v[CTX_SIG_SC + idx], v != 0);
+            e.bin(c, CTX_SIG_SC + idx, v != 0);
         }
         if (v != 0) {
             abs_nz[nnz++] = v < 0 ? -v : v;
@@ -516,7 +532,7 @@ static void put_coef_t(CabacEnc& e, CtxSet& c, bool chroma, i32 pmode, const i32
             i32 c2 = -1;
             c1 = 1;
             for (i32 j = 0; j < 8 && j < nnz; j++) {
-                e.bin(&c.v[CTX_ONE_SC + 4 * cset + c1], abs_nz[j] > 1);
+                e.bin(c, CTX_ONE_SC + 4 * cset + c1, abs_nz[j] > 1);
                 if (abs_nz[j] > 1) {
                     c1 = 0;
                     if (c2 < 0) c2 = abs_nz[j] > 2;
@@ -524,7 +540,7 @@ static void put_coef_t(CabacEnc& e, CtxSet& c, bool chroma, i32 pmode, const i32
                 } else if (c1 > 0 && c1 < 3) c1++;
             }
             if (c1 == 0 && c2 >= 0) {
-                e.bin(&c.v[CTX_ABS_SC + cset], c2);
+                e.bin(c, CTX_ABS_SC + cset, c2);
                 escape = escape || c2;
             }
             e.bypass(signs, nnz);
@@ -546,7 +562,8 @@ static void put_coef_t(CabacEnc& e, CtxSet& c, bool chroma, i32 pmode, const i32
 // size-dispatch wrapper: ~77% of trial-encode put_coef calls are 4x4
 // (PU fresh rates + 8x8-node TU-split trials), where the specialized
 // instantiation folds away the CG machinery entirely
-static void put_coef(CabacEnc& e, CtxSet& c, i32 sz, bool chroma, i32 pmode, const i32* blk) {
+template <class S>
+static void put_coef(S& e, CtxSet& c, i32 sz, bool chroma, i32 pmode, const i32* blk) {
     switch (sz) {
         case 4: put_coef_t<4>(e, c, chroma, pmode, blk); break;
         case 8: put_coef_t<8>(e, c, chroma, pmode, blk); break;
@@ -600,7 +617,8 @@ static i32 rate_floor(const i32* blk, i32 n) {
 }
 
 // CU serializers; blk/sub stride == their own size
-static void put_cu_2nx2n(CabacEnc& e, CtxSet& c, i32 sz, i32 pm, i32 pl, i32 pa, const i32* blk) {
+template <class S>
+static void put_cu_2nx2n(S& e, CtxSet& c, i32 sz, i32 pm, i32 pl, i32 pa, const i32* blk) {
     i32 cbf = block_nonzero(blk, sz * sz);
     put_part_size(e, c, sz, 0);
     put_y_pmode(e, c, 1, &pm, &pl, &pa);
@@ -612,7 +630,8 @@ static void put_cu_2nx2n(CabacEnc& e, CtxSet& c, i32 sz, i32 pm, i32 pl, i32 pa,
     if (cbf) put_coef(e, c, sz, false, pm, blk);
 }
 
-static void put_cu_tusplit(CabacEnc& e, CtxSet& c, i32 sz, i32 pm, i32 pl, i32 pa,
+template <class S>
+static void put_cu_tusplit(S& e, CtxSet& c, i32 sz, i32 pm, i32 pl, i32 pa,
                            const i32* sub[4]) {
     i32 h = sz / 2;
     put_part_size(e, c, sz, 0);
@@ -628,7 +647,8 @@ static void put_cu_tusplit(CabacEnc& e, CtxSet& c, i32 sz, i32 pm, i32 pl, i32 p
     }
 }
 
-static void put_cu_nxn(CabacEnc& e, CtxSet& c, i32 sz, const i32* pms, const i32* pls,
+template <class S>
+static void put_cu_nxn(S& e, CtxSet& c, i32 sz, const i32* pms, const i32* pls,
                        const i32* pas, const i32* sub[4]) {
     i32 h = sz / 2;
     put_part_size(e, c, sz, 1);
