@@ -21,14 +21,21 @@
 #include <cassert>
 #include <condition_variable>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <thread>
 #include <vector>
 
+#if defined(__AVX512F__) && defined(__AVX512BW__) && !defined(HEVCE_DISABLE_VEC)
+#define HEVCE_VEC_TRIALS 1
+#include <immintrin.h>
+#endif
+
 namespace hevce {
 
 using u8 = uint8_t;
+using u32 = uint32_t;
 using i32 = int32_t;
 using i64 = int64_t;
 
@@ -250,6 +257,323 @@ struct CabacEnc {
         emit(tail);
     }
 };
+
+// ---------------------------------------------------------------------------
+// lane-parallel trial pricing (AVX-512)
+//
+// A speculative trial encode's BIN SEQUENCE never depends on arithmetic-
+// coder state (HEVC residual syntax decides what to write from the block
+// content alone), so the up-to-70 candidate trials forked from one node
+// state can be recorded once as op streams and priced 16-at-a-time by a
+// vectorized CABAC that reproduces CabacEnc's count-only semantics exactly
+// (renormalization, outstanding-byte carries, emulation-prevention escape
+// bytes). Decisions are unchanged by construction: costs are order-
+// independent, the winner rule stays "min cost, ties to the larger
+// reference index", and aborts fire only on the same one-sided proof
+// (bits monotone in ops, so bits-so-far > budget implies the candidate
+// provably loses). Mirrors the reference's sequential trial loop
+// (reference src/HEVCe.c:1422-1484) at 16 lanes per step.
+// ---------------------------------------------------------------------------
+
+// Records the state-independent (context-index, bin) / bypass-chunk op
+// sequence of one trial through the identical put_* serializer templates.
+// bit_len() reports the bypass-bit floor (bypass bins cost exactly 1 bit,
+// context bins >= 0), so put_coef's CG-boundary abort check stays
+// one-sided: recording may only run LONGER than the scalar abort point,
+// and the vector coder re-applies the exact-bits abort itself.
+struct OpRecorder {
+    u32* ops;
+    i32 cap;
+    uint64_t* touched;              // wave-shared bitmap of ctx indices used
+    i32 n = 0;
+    i64 floor_bits = 0;
+    i64 abort_len = INT64_MAX;
+    bool overflow = false;
+    static constexpr u32 BYPASS = 0x80000000u;
+    inline void bin(CtxSet&, i32 idx, i32 b) {
+        touched[idx >> 6] |= 1ull << (idx & 63);
+        if (n < cap) ops[n++] = ((u32)idx << 8) | (u32)(b != 0);
+        else overflow = true;
+    }
+    inline void bypass(i32 bins, i32 len) {
+        bins &= (i32)((1u << len) - 1);
+        floor_bits += len;
+        while (len > 0) {                      // same <=8-bit chunking as CabacEnc
+            i32 cur = len < 8 ? len : 8;
+            len -= cur;
+            i32 chunk = (bins >> len) & ((1 << cur) - 1);
+            if (n < cap) ops[n++] = BYPASS | ((u32)cur << 16) | (u32)chunk;
+            else overflow = true;
+        }
+    }
+    i64 bit_len() const { return floor_bits; }
+};
+
+#ifdef HEVCE_VEC_STATS
+static std::atomic<i64> g_waves{0}, g_lanes{0}, g_ops{0}, g_steps{0},
+    g_scalar_trials{0}, g_vec_cycles{0}, g_gen_cycles{0}, g_gen_ops{0};
+#endif
+
+#if HEVCE_VEC_TRIALS
+struct VecTables {
+    alignas(64) i32 lps[256];      // kLpsTable[state][q] at state*4 + q
+    alignas(64) i32 nextst[256];   // next ctx byte at (v<<1) | is_lps
+    alignas(64) i32 renorm[32];
+    alignas(64) u8 lps_b[256];     // byte copies for VBMI permute lookups
+    alignas(64) u8 nextst_b[256];
+    VecTables() {
+        for (int s = 0; s < 64; s++)
+            for (int q = 0; q < 4; q++) lps[s * 4 + q] = kLpsTable[s][q];
+        for (int v = 0; v < 128; v++) {
+            nextst[(v << 1) | 0] = T.next_mps[v];
+            nextst[(v << 1) | 1] = T.next_lps[v];
+        }
+        for (int i = 0; i < 32; i++) renorm[i] = T.renorm[i];
+        for (int i = 0; i < 256; i++) {
+            lps_b[i] = (u8)lps[i];
+            nextst_b[i] = (u8)nextst[i];
+        }
+    }
+};
+static const VecTables VT;
+
+#ifdef __AVX512VBMI__
+// 256-entry u8 table lookup for 16 dword-lane indices via two 128-byte
+// permutes + a bit-7 blend — ~3x lower latency than a gather, and the lps
+// lookup sits on the serial range-update chain of every step
+static inline __m512i vec_lut256(const u8* tab, __m512i idx) {
+    const __m512i t0 = _mm512_load_si512((const __m512i*)tab);
+    const __m512i t1 = _mm512_load_si512((const __m512i*)(tab + 64));
+    const __m512i t2 = _mm512_load_si512((const __m512i*)(tab + 128));
+    const __m512i t3 = _mm512_load_si512((const __m512i*)(tab + 192));
+    const __m512i idxb = _mm512_castsi128_si512(_mm512_cvtepi32_epi8(idx));
+    const __m512i lo = _mm512_permutex2var_epi8(t0, idxb, t1);
+    const __m512i hi = _mm512_permutex2var_epi8(t2, idxb, t3);
+    const __mmask64 m7 = _mm512_movepi8_mask(idxb);   // bit 7 of each index
+    const __m512i r = _mm512_mask_blend_epi8(m7, lo, hi);
+    return _mm512_cvtepu8_epi32(_mm512_castsi512_si128(r));
+}
+#endif
+
+static inline i32 rd_cost(i32 qpd6, i32 dist, i32 bits);  // defined below
+
+// Exact bit_len deltas for up to 16 recorded op streams forked from
+// (oe, oc), in lockstep. Lane w reads gbuf[w*lane_stride + t] for
+// t < oplen[w]. out_bits[w] = exact delta, or I32_MAX once the delta
+// provably exceeds the lane's bit budget. Per-lane arithmetic is a
+// transliteration of CabacEnc::bin/bypass/refill/emit in count-only mode.
+//
+// Budget tightening mirrors the sequential trial loop's: budgets derive
+// from a running best cost via the same one-sided proof (bits > (best -
+// dist_floor)/w_bits implies cost > best STRICTLY, so even a tie-winner is
+// never dropped). Whenever a lane COMPLETES, its exact cost lowers the
+// running best and every other lane's budget retightens — so a wave prunes
+// almost as hard as 16 sequential trials. best_in only seeds pruning; the
+// caller re-derives the winner (and tie rule) from out_bits.
+static void vec_trial_bits(const CabacEnc& oe, const CtxSet& oc,
+                           const u32* gbuf, i32 lane_stride,
+                           const i32* oplen, i32 nlanes,
+                           i32 qpd6, i32 wbits, i32 best_in,
+                           const i32* sse, const i32* c1,
+                           const uint64_t* touched_map, i32* out_bits) {
+    alignas(64) i32 ctxv[NUM_CTX * 16];
+    for (i32 i = 0; i < NUM_CTX; i++)
+        if (touched_map[i >> 6] & (1ull << (i & 63)))
+            _mm512_store_si512((__m512i*)&ctxv[i * 16], _mm512_set1_epi32(oc.v[i]));
+
+    const __m512i lane = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7,
+                                           8, 9, 10, 11, 12, 13, 14, 15);
+    const __m512i c255 = _mm512_set1_epi32(255);
+    const __m512i c1v = _mm512_set1_epi32(1);
+    __m512i vrange = _mm512_set1_epi32(oe.range);
+    __m512i vlow = _mm512_set1_epi32(oe.low);
+    __m512i vnbits = _mm512_set1_epi32(oe.nbits);
+    __m512i vout = _mm512_set1_epi32(oe.outstanding);
+    __m512i vbuf = _mm512_set1_epi32(oe.bufbyte);
+    __m512i vzrun = _mm512_set1_epi32(oe.zrun);
+    __m512i vnby = _mm512_setzero_si512();          // emitted-byte delta
+    i32 best = best_in;
+    alignas(64) i32 len_a[16], bud_a[16];
+    auto budget_of = [&](i32 w) -> i32 {
+        // same arithmetic as process_cu's bit_budget; < 0 = provably loses
+        if (c1[w] > best) return -1;
+        i64 b = (i64)(best - c1[w]) / wbits;
+        return (i32)(b > (1 << 30) ? (1 << 30) : b);
+    };
+    i32 max_len = 0;
+    for (i32 w = 0; w < 16; w++) {
+        len_a[w] = w < nlanes ? oplen[w] : 0;
+        bud_a[w] = w < nlanes ? budget_of(w) : -1;
+        if (len_a[w] > max_len) max_len = len_a[w];
+    }
+    const __m512i vlen = _mm512_load_si512((const __m512i*)len_a);
+    __m512i vbud = _mm512_load_si512((const __m512i*)bud_a);
+    const __m512i base_out = _mm512_set1_epi32(oe.outstanding);
+    const __m512i base_nbits = _mm512_set1_epi32(oe.nbits);
+    const __m512i gstep = _mm512_mullo_epi32(lane, _mm512_set1_epi32(lane_stride));
+    __mmask16 alive = (__mmask16)((1u << nlanes) - 1);
+    __mmask16 aborted = 0;
+    __m512i vbits = _mm512_setzero_si512();
+
+    for (i32 t = 0; t < max_len; t++) {
+        const __m512i vt = _mm512_set1_epi32(t);
+        const __mmask16 act = alive & _mm512_cmplt_epi32_mask(vt, vlen);
+        if (!act) break;
+#ifdef HEVCE_VEC_STATS_FINE
+        g_steps++;
+        g_ops += __builtin_popcount(act);
+#endif
+        const __m512i op = _mm512_mask_i32gather_epi32(
+            _mm512_setzero_si512(), act, _mm512_add_epi32(gstep, vt), gbuf, 4);
+        const __mmask16 is_byp =
+            act & _mm512_test_epi32_mask(op, _mm512_set1_epi32((i32)0x80000000));
+        const __mmask16 is_ctx = act & ~is_byp;
+
+        // context-coded bin (CabacEnc::bin, branchless form)
+        const __m512i cidx = _mm512_and_si512(_mm512_srli_epi32(op, 8), c255);
+        const __m512i gidxc = _mm512_add_epi32(_mm512_slli_epi32(cidx, 4), lane);
+        const __m512i v = _mm512_mask_i32gather_epi32(
+            _mm512_setzero_si512(), is_ctx, gidxc, ctxv, 4);
+        const __m512i q2 =
+            _mm512_and_si512(_mm512_srli_epi32(vrange, 6), _mm512_set1_epi32(3));
+        const __m512i lpsidx =
+            _mm512_or_si512(_mm512_slli_epi32(_mm512_srli_epi32(v, 1), 2), q2);
+#ifdef __AVX512VBMI__
+        const __m512i lps = vec_lut256(VT.lps_b, lpsidx);
+#else
+        const __m512i lps =
+            _mm512_mask_i32gather_epi32(c1v, is_ctx, lpsidx, VT.lps, 4);
+#endif
+        const __m512i r1 = _mm512_sub_epi32(vrange, lps);
+        const __mmask16 mlps =
+            is_ctx & _mm512_cmpneq_epi32_mask(_mm512_and_si512(op, c1v),
+                                              _mm512_and_si512(v, c1v));
+        const __m512i renlo = _mm512_load_si512((const __m512i*)VT.renorm);
+        const __m512i renhi = _mm512_load_si512((const __m512i*)(VT.renorm + 16));
+        const __m512i nb_lps =
+            _mm512_permutex2var_epi32(renlo, _mm512_srli_epi32(lps, 3), renhi);
+        const __mmask16 m_r1lt = _mm512_cmplt_epi32_mask(r1, _mm512_set1_epi32(256));
+        __m512i nb = _mm512_maskz_mov_epi32(is_ctx & ~mlps & m_r1lt, c1v);
+        nb = _mm512_mask_mov_epi32(nb, mlps, nb_lps);
+        const __m512i nsidx = _mm512_add_epi32(_mm512_slli_epi32(v, 1),
+                                               _mm512_maskz_mov_epi32(mlps, c1v));
+#ifdef __AVX512VBMI__
+        const __m512i ns = vec_lut256(VT.nextst_b, nsidx);
+#else
+        const __m512i ns =
+            _mm512_mask_i32gather_epi32(v, is_ctx, nsidx, VT.nextst, 4);
+#endif
+        _mm512_mask_i32scatter_epi32(ctxv, is_ctx, gidxc, ns, 4);
+        const __m512i low_c =
+            _mm512_sllv_epi32(_mm512_mask_add_epi32(vlow, mlps, vlow, r1), nb);
+        const __m512i rng_c =
+            _mm512_sllv_epi32(_mm512_mask_mov_epi32(r1, mlps, lps), nb);
+
+        // bypass chunk (CabacEnc::bypass, one <=8-bit chunk per op)
+        const __m512i cur =
+            _mm512_and_si512(_mm512_srli_epi32(op, 16), _mm512_set1_epi32(0xF));
+        const __m512i low_b = _mm512_add_epi32(
+            _mm512_sllv_epi32(vlow, cur),
+            _mm512_mullo_epi32(vrange, _mm512_and_si512(op, c255)));
+
+        vlow = _mm512_mask_mov_epi32(vlow, is_ctx, low_c);
+        vlow = _mm512_mask_mov_epi32(vlow, is_byp, low_b);
+        vrange = _mm512_mask_mov_epi32(vrange, is_ctx, rng_c);
+        __m512i consume = _mm512_maskz_mov_epi32(is_ctx, nb);
+        consume = _mm512_mask_mov_epi32(consume, is_byp, cur);
+        vnbits = _mm512_sub_epi32(vnbits, consume);
+
+        // one-shot refill (CabacEnc::refill; count-only emit bookkeeping)
+        const __mmask16 mrf =
+            act & _mm512_cmplt_epi32_mask(vnbits, _mm512_set1_epi32(12));
+        if (mrf) {
+            const __m512i lead = _mm512_srlv_epi32(
+                vlow, _mm512_sub_epi32(_mm512_set1_epi32(24), vnbits));
+            vnbits = _mm512_mask_add_epi32(vnbits, mrf, vnbits, _mm512_set1_epi32(8));
+            const __m512i lmask = _mm512_srlv_epi32(_mm512_set1_epi32(-1), vnbits);
+            vlow = _mm512_mask_and_epi32(vlow, mrf, vlow, lmask);
+            const __mmask16 m_ff = mrf & _mm512_cmpeq_epi32_mask(lead, c255);
+            const __mmask16 m_pend = mrf & ~m_ff &
+                _mm512_cmpgt_epi32_mask(vout, _mm512_setzero_si512());
+            const __mmask16 m_first = mrf & ~m_ff & ~m_pend;
+            vout = _mm512_mask_add_epi32(vout, m_ff, vout, c1v);
+            // pending: emit(bufbyte + carry), then outstanding-1 fill bytes
+            const __m512i carry = _mm512_srli_epi32(lead, 8);
+            const __m512i ebyte = _mm512_and_si512(_mm512_add_epi32(vbuf, carry), c255);
+            const __mmask16 mesc = m_pend &
+                _mm512_cmpge_epi32_mask(vzrun, _mm512_set1_epi32(2)) &
+                _mm512_cmple_epi32_mask(ebyte, _mm512_set1_epi32(3));
+            vnby = _mm512_mask_add_epi32(vnby, mesc, vnby, c1v);   // escape byte
+            vzrun = _mm512_mask_mov_epi32(vzrun, mesc, _mm512_setzero_si512());
+            vnby = _mm512_mask_add_epi32(vnby, m_pend, vnby, c1v); // data byte
+            const __mmask16 m_zero =
+                m_pend & _mm512_cmpeq_epi32_mask(ebyte, _mm512_setzero_si512());
+            vzrun = _mm512_mask_mov_epi32(
+                vzrun, m_pend,
+                _mm512_maskz_mov_epi32(m_zero, _mm512_add_epi32(vzrun, c1v)));
+            const __mmask16 mfill = m_pend & _mm512_cmpgt_epi32_mask(vout, c1v);
+            if (mfill) {     // rare: multiple outstanding bytes flush at once
+                alignas(64) i32 a_out[16], a_car[16], a_z[16], a_n[16];
+                _mm512_store_si512((__m512i*)a_out, vout);
+                _mm512_store_si512((__m512i*)a_car, carry);
+                _mm512_store_si512((__m512i*)a_z, vzrun);
+                _mm512_store_si512((__m512i*)a_n, vnby);
+                for (i32 l = 0; l < 16; l++) {
+                    if (!((mfill >> l) & 1)) continue;
+                    const i32 fill = (0xFF + a_car[l]) & 0xFF;
+                    i32 z = a_z[l], nbyl = a_n[l];
+                    for (i32 k = 0; k < a_out[l] - 1; k++) {
+                        if (z >= 2 && fill <= 0x03) { nbyl++; z = 0; }
+                        nbyl++;
+                        z = (fill == 0) ? z + 1 : 0;
+                    }
+                    a_z[l] = z;
+                    a_n[l] = nbyl;
+                }
+                vzrun = _mm512_mask_load_epi32(vzrun, mfill, a_z);
+                vnby = _mm512_mask_load_epi32(vnby, mfill, a_n);
+            }
+            vbuf = _mm512_mask_mov_epi32(vbuf, m_pend, _mm512_and_si512(lead, c255));
+            vout = _mm512_mask_mov_epi32(vout, m_pend, c1v);
+            vout = _mm512_mask_mov_epi32(vout, m_first, c1v);
+            vbuf = _mm512_mask_mov_epi32(vbuf, m_first, lead);
+        }
+
+        // exact bit-length delta + one-sided abort (bits are monotone)
+        vbits = _mm512_add_epi32(
+            _mm512_slli_epi32(
+                _mm512_add_epi32(vnby, _mm512_sub_epi32(vout, base_out)), 3),
+            _mm512_sub_epi32(base_nbits, vnbits));
+        const __mmask16 mab = act & _mm512_cmpgt_epi32_mask(vbits, vbud);
+        aborted |= mab;
+        alive = (__mmask16)(alive & ~mab);
+
+        // lane completions tighten every other lane's budget (sequential-
+        // equivalent pruning; see header comment)
+        const __mmask16 mfin = act & (__mmask16)~mab &
+            _mm512_cmpeq_epi32_mask(vt, _mm512_sub_epi32(vlen, c1v));
+        if (mfin) {
+            alignas(64) i32 bits_now[16];
+            _mm512_store_si512((__m512i*)bits_now, vbits);
+            i32 prev = best;
+            for (i32 l = 0; l < 16; l++)
+                if ((mfin >> l) & 1) {
+                    i32 cost = rd_cost(qpd6, sse[l], bits_now[l]);
+                    if (cost < best) best = cost;
+                }
+            if (best < prev) {
+                for (i32 w = 0; w < 16; w++)
+                    bud_a[w] = w < nlanes ? budget_of(w) : -1;
+                vbud = _mm512_load_si512((const __m512i*)bud_a);
+            }
+        }
+    }
+    alignas(64) i32 bits_a[16];
+    _mm512_store_si512((__m512i*)bits_a, vbits);
+    for (i32 w = 0; w < nlanes; w++)
+        out_bits[w] = ((aborted >> w) & 1) ? I32_MAX : bits_a[w];
+}
+#endif  // HEVCE_VEC_TRIALS
 
 // ---------------------------------------------------------------------------
 // scan orders (generated)
@@ -1433,6 +1757,61 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
                     break;
                 }
         i32 win_ref = -1;            // reference index of the winner (-1 = step 1)
+#if HEVCE_VEC_TRIALS
+        // HEVCE_VEC=1 opts in to the 16-lane vector trial pricer. Measured
+        // round 4 (Kodak 03): parity at qpd6=2, ~4% slower at qpd6=0 — the
+        // op-stream generation re-walks the same analysis the scalar trial
+        // already does, and scatter->gather ordering on the lane context
+        // array serializes the vector steps (~158 cy/step). Kept as tested
+        // infrastructure; see ROADMAP round-4 notes for the full analysis.
+        static const bool use_vec = [] {
+            const char* e = getenv("HEVCE_VEC");
+            return e && e[0] == '1';
+        }();
+#endif
+        auto take = [&](i32 ref, i32 sse, i32 bits) {
+            // min cost, ties commit the LARGER reference index — exact in
+            // ANY visit order, which is what lets trials run in waves
+            i32 cost = rd_cost(q, sse, bits);
+            if (cost < best || (cost == best && ref > win_ref)) {
+                best = cost;
+                win_ref = ref;
+                win_step = ref < MODES ? 2 : 3;
+                win_pm = ref < MODES ? ref : ref - MODES;
+            }
+        };
+#if HEVCE_VEC_TRIALS
+        // host trials run in waves of up to 16 lanes: record each trial's
+        // state-independent op stream, then price the wave with the exact
+        // vector coder. Wave members carry the budget from assembly time —
+        // staler (larger) than the sequential path's, which only means
+        // EXTRA exact evaluations, never a different accept/reject (the
+        // cost compare itself is exact and order-independent).
+        constexpr i32 VCAP = 8192;
+        static thread_local u32 gops[16 * VCAP];
+        i32 wref[16], wlen[16], wsse[16], wc1[16];
+        uint64_t touched[(NUM_CTX + 63) / 64] = {};
+        i32 nwave = 0;
+        auto flush_wave = [&]() {
+            if (nwave == 0) return;
+            i32 outb[16];
+#ifdef HEVCE_VEC_STATS
+            g_waves++;
+            g_lanes += nwave;
+            i64 vc0 = (i64)__rdtsc();
+#endif
+            vec_trial_bits(o_enc, o_ctxs, gops, VCAP, wlen, nwave,
+                           q, kWBits[q], best, wsse, wc1, touched, outb);
+#ifdef HEVCE_VEC_STATS
+            g_vec_cycles += (i64)__rdtsc() - vc0;
+#endif
+            for (i32 w = 0; w < nwave; w++)
+                if (outb[w] != I32_MAX)
+                    take(wref[w], wsse[w], outb[w]);
+            nwave = 0;
+            std::memset(touched, 0, sizeof touched);
+        };
+#endif
         for (i32 k = 0; k < 2 * MODES; k++) {
             const i32 ref = order[k];
             const int step = ref < MODES ? 2 : 3;
@@ -1451,19 +1830,53 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
                 const i32* qb = (step == 2) ? M.quant + pm * nn
                                             : M.quant4 + (size_t)pm * 4 * hh;
                 if (rate_floor(qb, nn) > budget) continue;
+#if HEVCE_VEC_TRIALS
+                // the first surviving candidate runs scalar when there is
+                // no incumbent yet (8x8 nodes have no step-1 split): its
+                // cost seeds `best` so the wave's budgets have teeth
+                if (use_vec && best != I32_MAX) {
+#ifdef HEVCE_VEC_STATS
+                    i64 gc0 = (i64)__rdtsc();
+#endif
+                    OpRecorder rec{&gops[(size_t)nwave * VCAP], VCAP, touched};
+                    rec.abort_len = budget;
+                    put_split_cu(rec, st.ctxs, sz, 0, gl, ga);
+                    if (step == 2) {
+                        put_cu_2nx2n(rec, st.ctxs, sz, pm, pml, pma, M.quant + pm * nn);
+                    } else {
+                        const i32* q4pm = M.quant4 + (size_t)pm * 4 * hh;
+                        const i32* subs[4] = {q4pm, q4pm + hh, q4pm + 2 * hh, q4pm + 3 * hh};
+                        put_cu_tusplit(rec, st.ctxs, sz, pm, pml, pma, subs);
+                    }
+#ifdef HEVCE_VEC_STATS
+                    g_gen_cycles += (i64)__rdtsc() - gc0;
+                    g_gen_ops += rec.n;
+#endif
+                    if (!rec.overflow) {
+                        wref[nwave] = ref;
+                        wsse[nwave] = sse;
+                        wc1[nwave] = dist_floor(q, sse);
+                        wlen[nwave] = rec.n;
+                        if (++nwave == 16) flush_wave();
+                        continue;
+                    }
+                    // cap overflow (can't happen for in-range coefficients;
+                    // defensive): fall through to the scalar trial
+                }
+#endif
             }
+#ifdef HEVCE_VEC_STATS
+            if (!dev_rate) g_scalar_trials++;
+#endif
             i32 bits = dev_rate ? rates[pm]
                        : (step == 2 ? host_trial2(pm, budget)
                                     : host_trial3(pm, budget));
             if (bits == I32_MAX) continue;                 // over budget: loses
-            i32 cost = rd_cost(q, sse, bits);
-            if (cost < best || (cost == best && ref > win_ref)) {
-                best = cost;
-                win_ref = ref;
-                win_step = step;
-                win_pm = pm;
-            }
+            take(ref, sse, bits);
         }
+#if HEVCE_VEC_TRIALS
+        flush_wave();
+#endif
         if (two_phase && !fetched_full)
             st.mp->fetch_node(win_step == 0 ? -2
                               : (win_step - 2) * MODES + win_pm);

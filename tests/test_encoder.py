@@ -49,6 +49,32 @@ def test_engines_agree_on_random_image():
         np.testing.assert_array_equal(r_py, r_cc)
 
 
+def test_vector_trial_pricer_matches_scalar(golden):
+    """HEVCE_VEC=1 routes step-2/3 trial pricing through the 16-lane
+    AVX-512 op-stream coder (csrc vec_trial_bits); streams must be
+    BYTE-IDENTICAL to the default scalar trial path. Run in a subprocess
+    because the engine latches the env var on first use. Covers a noise
+    image (escape/emulation-prevention stress) and a golden natural image."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import numpy as np\n"
+        "from hevce_tpu.runtime.native import encode_image_native\n"
+        "g = np.load('tests/data/golden_images.npz', allow_pickle=True)\n"
+        "n = np.load('tests/data/golden_noise.npz', allow_pickle=True)\n"
+        "for d, t in ((g, 0), (g, 2), (n, 0), (n, 1)):\n"
+        "    s, _ = encode_image_native(d[f'img_{t}'], int(d[f'qpd6_{t}']))\n"
+        "    assert s == bytes(d[f'stream_{t}']), (t, len(s))\n"
+        "print('ok')\n"
+    )
+    env = dict(os.environ, HEVCE_VEC="1")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0 and r.stdout.strip() == "ok", r.stderr[-2000:]
+
+
 def test_native_rejects_bad_args():
     img = np.zeros((32, 32), np.uint8)
     with pytest.raises(AssertionError):

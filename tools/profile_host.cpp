@@ -62,6 +62,17 @@ int main(int argc, char** argv) {
     std::printf("%dx%d qpd6=%d reps=%d: %lld B, %.3f s/img, %.4f MP/s\n",
                 h, w, qpd6, reps, n, dt / reps,
                 (double)h * w * reps / 1e6 / dt);
+#ifdef HEVCE_VEC_STATS
+    std::printf("vec stats: waves=%lld lanes=%lld (fill %.1f%%) ops=%lld steps=%lld (util %.1f%%)\n",
+                (long long)hevce::g_waves.load(), (long long)hevce::g_lanes.load(),
+                100.0 * hevce::g_lanes.load() / (16.0 * hevce::g_waves.load() + 1e-9),
+                (long long)hevce::g_ops.load(), (long long)hevce::g_steps.load(),
+                100.0 * hevce::g_ops.load() / (16.0 * hevce::g_steps.load() + 1e-9));
+    std::printf("vec cycles=%.2fG gen cycles=%.2fG gen_ops=%lld scalar_trials=%lld\n",
+                hevce::g_vec_cycles.load() / 1e9, hevce::g_gen_cycles.load() / 1e9,
+                (long long)hevce::g_gen_ops.load(), (long long)hevce::g_scalar_trials.load());
+#endif
     std::free(img); std::free(stream); std::free(rcon);
     return n > 0 ? 0 : 2;
 }
+// (vec-stats printing lives in main via HEVCE_VEC_STATS globals)
