@@ -23,6 +23,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <mutex>
 #include <thread>
 #include <vector>
@@ -1788,7 +1789,11 @@ static void process_cu(EncState& st, i32 y, i32 x, i32 sz,
         // EXTRA exact evaluations, never a different accept/reject (the
         // cost compare itself is exact and order-independent).
         constexpr i32 VCAP = 8192;
-        static thread_local u32 gops[16 * VCAP];
+        // 512 KB wave op buffer, allocated per worker thread on first vec
+        // use only — the default scalar path never touches it (ADVICE r4)
+        static thread_local std::unique_ptr<u32[]> gops_buf;
+        if (use_vec && !gops_buf) gops_buf.reset(new u32[16 * VCAP]);
+        u32* const gops = gops_buf.get();
         i32 wref[16], wlen[16], wsse[16], wc1[16];
         uint64_t touched[(NUM_CTX + 63) / 64] = {};
         i32 nwave = 0;

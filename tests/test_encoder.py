@@ -49,7 +49,7 @@ def test_engines_agree_on_random_image():
         np.testing.assert_array_equal(r_py, r_cc)
 
 
-def test_vector_trial_pricer_matches_scalar(golden):
+def test_vector_trial_pricer_matches_scalar():
     """HEVCE_VEC=1 routes step-2/3 trial pricing through the 16-lane
     AVX-512 op-stream coder (csrc vec_trial_bits); streams must be
     BYTE-IDENTICAL to the default scalar trial path. Run in a subprocess
@@ -59,11 +59,12 @@ def test_vector_trial_pricer_matches_scalar(golden):
     import subprocess
     import sys
 
+    data = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
     code = (
         "import numpy as np\n"
         "from hevce_tpu.runtime.native import encode_image_native\n"
-        "g = np.load('tests/data/golden_images.npz', allow_pickle=True)\n"
-        "n = np.load('tests/data/golden_noise.npz', allow_pickle=True)\n"
+        f"g = np.load(r'{data}/golden_images.npz', allow_pickle=True)\n"
+        f"n = np.load(r'{data}/golden_noise.npz', allow_pickle=True)\n"
         "for d, t in ((g, 0), (g, 2), (n, 0), (n, 1)):\n"
         "    s, _ = encode_image_native(d[f'img_{t}'], int(d[f'qpd6_{t}']))\n"
         "    assert s == bytes(d[f'stream_{t}']), (t, len(s))\n"

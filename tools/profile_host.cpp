@@ -75,4 +75,3 @@ int main(int argc, char** argv) {
     std::free(img); std::free(stream); std::free(rcon);
     return n > 0 ? 0 : 2;
 }
-// (vec-stats printing lives in main via HEVCE_VEC_STATS globals)
