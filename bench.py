@@ -18,10 +18,11 @@ Env knobs:
   HEVCE_BENCH_HOST=1       benchmark only the bit-exact host path (old metric)
   HEVCE_BENCH_QUICK=1      host fallback uses a 6-image subset
   HEVCE_BENCH_FAST=1       force the fast metric even on a CPU backend
-  HEVCE_BENCH_BATCH=N      fast-mode batch size (default 18: one slice per
-                           Kodak orientation — measured 5.4 MP/s un-pipelined
-                           vs 3.9 at B=9 on the landscape group; the front
-                           step is overhead-bound, so more lanes are ~free)
+  HEVCE_BENCH_BATCH=N      fast-mode batch size (default 36: the measured
+                           knee of the round-5 B-scaling curve — 8.43 /
+                           9.19 / 7.78 / 6.75 MP/s at B=18/36/54/72
+                           (tools/bench_batch_scale.py); larger B exposes
+                           the first batch's un-overlapped device wait)
 """
 import glob
 import json
@@ -33,7 +34,8 @@ import numpy as np
 
 BASELINE_MPS = 0.044
 V5E_BF16_PEAK = 197e12     # bf16 FLOP/s per v5e chip (utilization denominator)
-BATCH = int(os.environ.get("HEVCE_BENCH_BATCH", "18"))
+BATCH = int(os.environ.get("HEVCE_BENCH_BATCH", "36"))
+PASSES = int(os.environ.get("HEVCE_BENCH_PASSES", "3"))
 
 
 def _kodak():
@@ -76,10 +78,19 @@ def bench_fast(imgs):
     """
     from hevce_tpu.models import wavefront as wf
 
+    from hevce_tpu.utils.tracing import PhaseTimer
+
     streams, recons = wf.encode_many_fast(imgs, 2, batch=BATCH)  # warm+verify
+    # timed pass: PASSES copies of the 24 images (labeled in the JSON) so
+    # same-shape groups actually fill B=36 batches (Kodak is 18+6 per
+    # orientation) and the AHEAD pipeline reaches steady state — the
+    # production regime the north star names ("batched encodes").
+    work = imgs * PASSES
+    timer = PhaseTimer()
     t0 = time.time()
-    wf.encode_many_fast(imgs, 2, batch=BATCH, want_recon=False)
-    mps = sum(im.size for im in imgs) / 1e6 / (time.time() - t0)
+    wf.encode_many_fast(work, 2, batch=BATCH, want_recon=False, timer=timer)
+    mps = sum(im.size for im in work) / 1e6 / (time.time() - t0)
+    phases = {k: round(v, 3) for k, v in timer.totals.items()}
 
     # device-utilization estimate: one un-pipelined batch, synced by the
     # sideband fetch (block_until_ready is unreliable on the tunnel)
@@ -91,7 +102,7 @@ def bench_fast(imgs):
     n_ctu = sum(-(-im.shape[0] // 32) * -(-im.shape[1] // 32) for im in land)
     rmd = wf._resolve_rmd(wf._RMD_ENV)      # the config the runs above used
     util = n_ctu * wf.front_macs_per_ctu(rmd) * 2 / dt / V5E_BF16_PEAK
-    return mps, util, streams, recons
+    return mps, util, streams, recons, phases
 
 
 def main():
@@ -151,17 +162,19 @@ def _device_ok():
 def _fast_metric(imgs):
     from hevce_tpu.runtime.native import decode_stream, encode_image_native
 
-    mps, util, streams, recons = bench_fast(imgs)
+    mps, util, streams, recons, phases = bench_fast(imgs)
 
     # hard correctness gate: every stream must decode to the returned recon
     for i, (s, r) in enumerate(zip(streams, recons)):
         dec = decode_stream(s)
         assert np.array_equal(dec, r), f"stream {i} decode mismatch"
 
-    # quality gate: bound the per-image worst case (VERDICT r3 weak item 5).
-    # Measured today: min -0.353 dB (RMD 12,4) / -0.374 (dense) on Kodak-24;
-    # a breach means a rate-model or selection regression, not content drift.
+    # quality gates (VERDICT r3 weak item 5 / r4 items 3+8): bound both the
+    # per-image worst case and the mean. Measured today: mean -0.123 dB,
+    # min -0.353 dB (RMD 12,4) on Kodak-24; a breach means a rate-model or
+    # selection regression, not content drift.
     WORST_CASE_DB = -0.55
+    MEAN_DB = -0.20
 
     # honesty: quality/size vs the bit-exact engine on ALL 24 images, and
     # the bit-exact host throughput over the same full set
@@ -177,6 +190,8 @@ def _fast_metric(imgs):
     assert min(dpsnr) >= WORST_CASE_DB, (
         f"fast-mode worst-case quality breach: {min(dpsnr):.3f} dB < "
         f"{WORST_CASE_DB} (image {int(np.argmin(dpsnr))})")
+    assert float(np.mean(dpsnr)) >= MEAN_DB, (
+        f"fast-mode mean quality breach: {np.mean(dpsnr):.3f} dB < {MEAN_DB}")
 
     return {
         "metric": "Kodak-24 encode throughput, TPU wavefront fast mode "
@@ -190,6 +205,10 @@ def _fast_metric(imgs):
         "fast_size_ratio_mean": round(float(np.mean(ratio)), 4),
         "device_util_pct": round(100 * util, 2),
         "images": len(imgs),
+        "fast_batch": BATCH,
+        "timed_passes": PASSES,   # timed worklist = PASSES x the 24 images
+        "phases_s": phases,       # dispatch / fetch / pack split of the
+                                  # timed pass (regressions per phase visible)
     }
 
 

@@ -1239,22 +1239,37 @@ def encode_many_fast(images, qpd6: int, batch: int = 8, timer=None,
     # lean mode: dispatch up to AHEAD batches before draining (measured on
     # the tunnel: all-ahead 3.2 MP/s vs 2.84 fetch-first — the device
     # executes queue back-to-back server-side while the host fetches, packs
-    # and uploads; a window bounds in-flight input/output memory)
+    # and uploads; a window bounds in-flight in/out memory). Each batch's
+    # D2H record transfer is started ASYNC at dispatch time
+    # (copy_to_host_async — it begins as soon as the device finishes that
+    # batch), so the tunnel round trip (~0.9 s per 72 images at B=18,
+    # round-5 measurement) overlaps the host pack of earlier batches and
+    # the blocking np.asarray in _fetch_lean finds the bytes already
+    # landed. Single-threaded by design: concurrent tunnel access from a
+    # fetch thread is a known backend-wedge risk (CLAUDE.md).
     AHEAD = 4
     from collections import deque
     inflight = deque()
-    for idx in batches:
-        if len(inflight) >= AHEAD:
-            out, meta, p_idx, n_real = inflight.popleft()
-            rec = _fetch_lean(out, meta, timer)
-            s, r = _pack_lean(rec, meta, want_recon, timer)
-            place(p_idx, n_real, s, r)
-        inflight.append(dispatch(idx))
-    while inflight:
+
+    def enqueue(item):
+        try:
+            item[0].copy_to_host_async()
+        except AttributeError:       # backend without async D2H
+            pass
+        inflight.append(item)
+
+    def drain_one():
         out, meta, p_idx, n_real = inflight.popleft()
         rec = _fetch_lean(out, meta, timer)
         s, r = _pack_lean(rec, meta, want_recon, timer)
         place(p_idx, n_real, s, r)
+
+    for idx in batches:
+        if len(inflight) >= AHEAD:
+            drain_one()
+        enqueue(dispatch(idx))
+    while inflight:
+        drain_one()
     return streams, recons
 
 
