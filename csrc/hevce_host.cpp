@@ -21,6 +21,7 @@
 #include <cassert>
 #include <condition_variable>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <memory>
@@ -2243,6 +2244,12 @@ static void replay_cu(EncState& st, i32 y, i32 x, i32 sz, i32 lay,
         std::memcpy(&st.rcon[(size_t)(y + i) * st.xszn + x], recon + i * sz, sz);
 }
 
+// Per-node exact-bit accounting for the fast-mode rate-model diagnosis
+// (VERDICT r4 item 3): when enabled, every packed non-split CU appends
+// [y, x, sz, lay, pm, exact_bits] int32 records here; pack_stream dumps
+// them to the HEVCE_PACK_STATS path. Diagnostic only — zero cost when off.
+static thread_local std::vector<i32>* g_pack_stats = nullptr;
+
 static void pack_cu(EncState& st, const PackRec& rec, i32 y, i32 x, i32 sz, int node,
                     bool bll, bool blb, bool baa, bool bar) {
     const i32 mr = st.mrow(y), mc = 1 + x / 4;
@@ -2277,6 +2284,13 @@ static void pack_cu(EncState& st, const PackRec& rec, i32 y, i32 x, i32 sz, int 
                   bll, blb, baa, bar, qbuf);
         qb = qbuf;
     }
+    const i64 pb0 = g_pack_stats ? st.enc.bit_len() : 0;
+    auto push_stats = [&](i32 layv, i32 pmv) {
+        if (!g_pack_stats) return;
+        const i32 d = (i32)(st.enc.bit_len() - pb0);
+        const i32 r6[6] = {y, x, sz, layv, pmv, d};
+        g_pack_stats->insert(g_pack_stats->end(), r6, r6 + 6);
+    };
     put_split_cu(st.enc, st.ctxs, sz, 0, gl, ga);
     const i32 ntu = sz / 4;
     if (rec.lay[node] == 3) {
@@ -2289,6 +2303,7 @@ static void pack_cu(EncState& st, const PackRec& rec, i32 y, i32 x, i32 sz, int 
         i32 pas[4] = {pma, st.mpm(st.mrow(y) - 1, 1 + (x + h) / 4), pms[0], pms[1]};
         const i32* subs[4] = {qb, qb + 16, qb + 32, qb + 48};
         put_cu_nxn(st.enc, st.ctxs, sz, pms, pls, pas, subs);
+        push_stats(3, pms[0]);
         for (i32 r = 0; r < ntu; r++) std::memset(&st.mcu(mr + r, mc), sz, ntu);
         st.mpm(st.mrow(y), 1 + x / 4) = (u8)pms[0];
         st.mpm(st.mrow(y), 1 + (x + h) / 4) = (u8)pms[1];
@@ -2303,6 +2318,7 @@ static void pack_cu(EncState& st, const PackRec& rec, i32 y, i32 x, i32 sz, int 
         const i32* subs[4] = {qb, qb + hh, qb + 2 * hh, qb + 3 * hh};
         put_cu_tusplit(st.enc, st.ctxs, sz, pm, pml, pma, subs);
     }
+    push_stats(rec.lay[node], pm);
     for (i32 r = 0; r < ntu; r++) {
         std::memset(&st.mcu(mr + r, mc), sz, ntu);
         std::memset(&st.mpm(mr + r, mc), pm, ntu);
@@ -2332,6 +2348,10 @@ static i64 pack_stream(const i32* lay, const i32* pm, const i32* pm4,
     st.arena.reserve(1 << 20);
     st.enc.arena = &st.arena;
 
+    std::vector<i32> stats;
+    const char* stats_path = getenv("HEVCE_PACK_STATS");
+    g_pack_stats = (stats_path && stats_path[0]) ? &stats : nullptr;
+
     std::vector<u8> out;
     write_headers(out, qpd6, st.yszn, st.xszn);
     const i32 R = st.yszn / CTU, Cc = st.xszn / CTU;
@@ -2354,6 +2374,16 @@ static i64 pack_stream(const i32* lay, const i32* pm, const i32* pm4,
     }
     st.enc.finish();
     out.insert(out.end(), st.arena.begin(), st.arena.end());
+    if (g_pack_stats) {
+        if (FILE* f = std::fopen(stats_path, "ab")) {
+            // framed per image: [-1, R, Cc, qpd6, n_records, 0] then records
+            const i32 hdr[6] = {-1, R, Cc, qpd6, (i32)(stats.size() / 6), 0};
+            std::fwrite(hdr, sizeof(i32), 6, f);
+            std::fwrite(stats.data(), sizeof(i32), stats.size(), f);
+            std::fclose(f);
+        }
+        g_pack_stats = nullptr;
+    }
     if (cap && (i64)out.size() > cap) return -2;
     std::memcpy(stream, out.data(), out.size());
     if (!qc && rcon_out)

@@ -426,6 +426,12 @@ class Dec:
             k += 1
         rbsp = unescape(stream[soff:end])
         self.d = CabacDec(rbsp[coff:])
+        # optional decision-forest trace: set to [] before run() to collect
+        # (y, x, sz, lay, pm, consumed_bits) per non-split CU — lay 1/2/3 =
+        # 2Nx2N-single-TU / 2Nx2N-TU-split / NxN; consumed_bits counts the
+        # slice bits from the node's first flag through its last coefficient
+        # (tools/diff_forests.py uses this to compare fast vs exact forests)
+        self.trace = None
 
     def recon_tu(self, y, x, sz, flags, pmode, coef):
         tx = np.clip(np.arange(x - 1, x + 2 * sz), 0, self.xszn - 1)
@@ -450,6 +456,7 @@ class Dec:
         pma = int(self.map_pmode[mr - 1, mc])
         ntu = sz // 4
         d, ctxs = self.d, self.ctxs
+        p0 = d.p
         if sz >= 16 and d.bin(ctxs, cb.CTX_SPLIT_CU + int(gl) + int(ga)):
             sf = _sub_flags(bll, blb, baa, bar)
             h = sz // 2
@@ -480,6 +487,8 @@ class Dec:
                     self.recon_tu(y + oy * h, x + ox * h, h, sf[k], pm, coef)
             self.map_cu_sz[mr:mr + ntu, mc:mc + ntu] = sz
             self.map_pmode[mr:mr + ntu, mc:mc + ntu] = pm
+            if self.trace is not None:
+                self.trace.append((y, x, sz, 2 if tsplit else 1, pm, d.p - p0))
         else:
             h = sz // 2
             sf = _sub_flags(bll, blb, baa, bar)
@@ -509,6 +518,8 @@ class Dec:
             self.map_pmode[mr, mc + 1] = pm4[1]
             self.map_pmode[mr + 1, mc] = pm4[2]
             self.map_pmode[mr + 1, mc + 1] = pm4[3]
+            if self.trace is not None:
+                self.trace.append((y, x, sz, 3, pm4[0], d.p - p0))
 
     def run(self):
         for y in range(0, self.yszn, 32):
