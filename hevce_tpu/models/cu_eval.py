@@ -47,15 +47,27 @@ def _pipeline(sz, qpd6, pred, blk_orig):
     return q, recon
 
 
+def pipeline_sse(sz: int, qpd6: int, pred, blk_orig):
+    """_pipeline + per-candidate SSE — as ONE fused Pallas kernel on TPU
+    backends (ops/fused_eval: intermediates stay in VMEM instead of paying
+    a fusion-boundary HBM round trip per stage), as the XLA ops elsewhere.
+    The two paths are bit-identical (tests/test_fused_eval.py)."""
+    from hevce_tpu.ops import fused_eval
+    if fused_eval.use_for(sz, pred.shape[-3]):
+        return fused_eval.pipeline_sse(
+            sz, qpd6, pred.astype(jnp.uint8), blk_orig.astype(jnp.uint8))
+    q, recon = _pipeline(sz, qpd6, pred, blk_orig)
+    sse = rdcost.block_sse(blk_orig[..., None, :, :], recon)
+    return q, recon, sse
+
+
 def eval_2nx2n(sz: int, qpd6: int, ctx_top, ctx_left, flags, blk_orig):
     """all-35-mode single-TU evaluation (reference step 2, src/HEVCe.c:1422-1448)."""
     S = intra.build_borders(
         sz, ctx_top[..., 0], ctx_left, ctx_top[..., 1:],
         flags[..., 0], flags[..., 1], flags[..., 2], flags[..., 3])
     pred = intra.predict_all_modes(sz, S)
-    q, recon = _pipeline(sz, qpd6, pred, blk_orig)
-    sse = rdcost.block_sse(blk_orig[..., None, :, :], recon)
-    return q, recon, sse
+    return pipeline_sse(sz, qpd6, pred, blk_orig)
 
 
 def _select_pred(sz: int, S, sel_oh):
@@ -132,7 +144,7 @@ def eval_tusplit(sz: int, qpd6: int, ctx_top, ctx_left, flags, blk_orig,
                 else _select_pred(h, S, sel_oh))
 
         sub_orig = blk_orig[..., oy:oy + h, ox:ox + h]
-        q, recon = _pipeline(h, qpd6, pred, sub_orig)
+        q, recon, _ = pipeline_sse(h, qpd6, pred, sub_orig)
         quants.append(q)
         canvas = canvas.at[..., :, oy:oy + h, ox:ox + h].set(recon)
 

@@ -436,8 +436,7 @@ def _eval_node_rmd(qpd6, A, orig, fl, pml, pma, y0, x0, sz, K: int, T: int):
               | (modes[None, :] == m2[:, None]))
     ohK = _topk_mask(sat_d - (forced.astype(jnp.int32) << 29), K)
     predK = _compress_u8(ohK, pred35)
-    qK, rK = cu_eval._pipeline(sz, qpd6, predK, blk)
-    sseK = rdcost.block_sse(blk[:, None], rK)
+    qK, rK, sseK = cu_eval.pipeline_sse(sz, qpd6, predK, blk)
 
     pmr35 = _pmode_rate(pml, pma)                      # (B, 35)
     _, _, stm = _scan_consts(sz, CTX_BIT)

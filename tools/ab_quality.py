@@ -25,6 +25,9 @@ import subprocess
 import sys
 import time
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo-root import; never PYTHONPATH (breaks axon plugin)
+
 _CHILD = """
 import json, os, sys, time
 import numpy as np

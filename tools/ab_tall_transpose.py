@@ -1,4 +1,6 @@
 import os, time
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo-root import; never PYTHONPATH (breaks axon plugin)
 import numpy as np
 from hevce_tpu.utils.imageio import read_pgm
 from hevce_tpu.runtime.native import encode_image_native, decode_stream

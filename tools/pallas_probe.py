@@ -14,9 +14,16 @@ Timing: end-to-end wall with a real np.asarray fetch (block_until_ready is
 unreliable through the axon tunnel, CLAUDE.md).
 """
 import functools
+import os
+import sys
 import time
 
 import numpy as np
+
+# hevce_tpu import path when run as a script. NOTE: do NOT use
+# PYTHONPATH=/root/repo for TPU runs instead — it breaks the axon PJRT
+# plugin registration (backend 'axon' vanishes from the known list).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _timeit(fn, n=3):

@@ -30,9 +30,14 @@ Usage:  python tools/verify_cross_platform.py cpu [--full]
         python tools/verify_cross_platform.py tpu [--full]
 """
 import glob
+import os
 import sys
 
 import numpy as np
+
+# repo-root import when run as a script (do NOT use PYTHONPATH for TPU runs
+# — it breaks the axon plugin registration, CLAUDE.md)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _cases(full):
