@@ -159,6 +159,10 @@ struct CabacEnc {
     i64 abort_len = INT64_MAX;      // trial encodes may stop once bit_len()
                                     // exceeds this (the candidate provably
                                     // loses: bits only grow, cost is monotone)
+    i64 nctx = 0;                   // context-coded bins seen (rate-model
+    i64 nbyp = 0;                   // feedback: realized avg ctx-bin cost =
+                                    // (bit_len - nbyp) / nctx; one add per
+                                    // bin — measured noise on the trial path)
     std::vector<u8>* arena = nullptr;
 
     // arena == nullptr makes the sink count-only: trial encodes need exact
@@ -203,6 +207,7 @@ struct CabacEnc {
     __attribute__((always_inline)) inline void bin(u8* ctx, i32 b) {
         // branchless LPS/MPS select: the bin value is ~50/50 in trial
         // encodes, so the data-dependent branch mispredicts heavily
+        nctx++;
         u8 v = *ctx;
         i32 lps = kLpsTable[v >> 1][(range >> 6) & 3];
         i32 r1 = range - lps;
@@ -216,6 +221,7 @@ struct CabacEnc {
     }
 
     __attribute__((always_inline)) inline void bypass(i32 bins, i32 len) {
+        nbyp += len;
         bins &= (1 << len) - 1;
         while (len > 0) {
             i32 cur = len < 8 ? len : 8;
@@ -2249,6 +2255,10 @@ static void replay_cu(EncState& st, i32 y, i32 x, i32 sz, i32 lay,
 // [y, x, sz, lay, pm, exact_bits] int32 records here; pack_stream dumps
 // them to the HEVCE_PACK_STATS path. Diagnostic only — zero cost when off.
 static thread_local std::vector<i32>* g_pack_stats = nullptr;
+// last pack_stream's realized CABAC stats (bits / ctx bins / bypass bins)
+static thread_local i64 g_last_pack_bits = 0;
+static thread_local i64 g_last_pack_nctx = 0;
+static thread_local i64 g_last_pack_nbyp = 0;
 
 static void pack_cu(EncState& st, const PackRec& rec, i32 y, i32 x, i32 sz, int node,
                     bool bll, bool blb, bool baa, bool bar) {
@@ -2374,6 +2384,13 @@ static i64 pack_stream(const i32* lay, const i32* pm, const i32* pm4,
     }
     st.enc.finish();
     out.insert(out.end(), st.arena.begin(), st.arena.end());
+    // realized-rate feedback for the fast mode's sub-bit price model
+    // (models/wavefront.py CTX_BIT): CABAC payload bits + bin counts of
+    // THIS pack, readable via hevce_last_pack_stats (thread-local: each
+    // worker packs its own images)
+    g_last_pack_bits = 8 * st.enc.nbytes;
+    g_last_pack_nctx = st.enc.nctx;
+    g_last_pack_nbyp = st.enc.nbyp;
     if (g_pack_stats) {
         if (FILE* f = std::fopen(stats_path, "ab")) {
             // framed per image: [-1, R, Cc, qpd6, n_records, 0] then records
@@ -3272,7 +3289,7 @@ long long hevce_stream_capacity(int ysz, int xsz) {
     return (long long)hevce::stream_capacity(yp, xp);
 }
 
-int hevce_version() { return 15; }
+int hevce_version() { return 16; }
 
 // pack a pre-decided CU forest (wavefront fast mode) into a compliant stream;
 // record layout documented at hevce::PackRec. Returns stream bytes or -2 if
@@ -3298,6 +3315,16 @@ long long hevce_pack_img(const int* lay, const int* pm, const int* pm4,
     if (qpd6 < 0 || qpd6 > 4 || ysz <= 0 || xsz <= 0 || !img) return -1;
     return hevce::pack_stream(lay, pm, pm4, nullptr, img, ysz, xsz, qpd6,
                               stream_out, cap, rcon_out);
+}
+
+// realized CABAC stats of the calling thread's LAST hevce_pack/_pack_img:
+// out3 = {cabac payload bits, context-coded bins, bypass bins}. The fast
+// mode's corrective pass derives the realized avg context-bin cost
+// (bits - bypass) / nctx from these (models/wavefront.py).
+void hevce_last_pack_stats(long long* out3) {
+    out3[0] = hevce::g_last_pack_bits;
+    out3[1] = hevce::g_last_pack_nctx;
+    out3[2] = hevce::g_last_pack_nbyp;
 }
 
 // --- lockstep batch API -----------------------------------------------------

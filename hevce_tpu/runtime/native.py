@@ -184,6 +184,26 @@ def pack_forest_img(lay, pm, pm4, img: np.ndarray, qpd6: int):
     return bytes(buf[:n]), rcon
 
 
+def last_pack_stats():
+    """Realized CABAC stats of this thread's LAST pack_forest/_img call:
+    (payload_bits, n_context_bins, n_bypass_bins). The fast mode's
+    corrective pass derives the realized average context-bin cost
+    (payload_bits - n_bypass_bins) / n_context_bins — the measured value of
+    the price the greedy rate model assumes as CTX_BIT (wavefront.py)."""
+    lib = _load()
+    if not hasattr(lib, "hevce_last_pack_stats"):
+        raise RuntimeError(
+            "stale libhevce_host.so: rebuild via tools/build_native.py")
+    if not hasattr(lib.hevce_last_pack_stats, "_bound"):
+        lib.hevce_last_pack_stats.restype = None
+        lib.hevce_last_pack_stats.argtypes = [
+            ctypes.POINTER(ctypes.c_longlong)]
+        lib.hevce_last_pack_stats._bound = True
+    out = (ctypes.c_longlong * 3)()
+    lib.hevce_last_pack_stats(out)
+    return int(out[0]), int(out[1]), int(out[2])
+
+
 def decode_stream(stream: bytes) -> np.ndarray:
     """Decode an .h265 stream produced by this encoder subset with the
     independent native decoder (spec-side arithmetic decoding + syntax

@@ -73,6 +73,7 @@ def main():
         env.pop("HEVCE_RMD", None)
         env.pop("HEVCE_SIG_ZERO", None)
         env["HEVCE_CTX_BIT"] = ctx
+        env["HEVCE_ADAPT"] = "0"     # sweep the RAW knob, no second pass
         r = subprocess.run(
             [sys.executable, "-c", _CHILD, json.dumps(files), root, cache],
             capture_output=True, text=True, env=env, timeout=7200)
