@@ -175,10 +175,11 @@ def _fast_metric(imgs):
         assert np.array_equal(dec, r), f"stream {i} decode mismatch"
 
     # quality gates (VERDICT r3 weak item 5 / r4 items 3+8): bound both the
-    # per-image worst case and the mean. Measured round 5 with the adaptive
-    # rate-price second pass: mean -0.113 dB, min -0.27 dB (image 13) on
-    # Kodak-24; decisions are deterministic, so a breach means a rate-model
-    # or selection regression, not content drift.
+    # per-image worst case and the mean. Measured round 5 with the
+    # gradient-predictor price adaptation (HEVCE_ADAPT=pre, the default):
+    # mean -0.112 dB, min -0.272 dB (image 13) on Kodak-24; decisions are
+    # deterministic, so a breach means a rate-model or selection
+    # regression, not content drift.
     WORST_CASE_DB = -0.30
     MEAN_DB = -0.20
 

@@ -1259,6 +1259,8 @@ def encode_many_fast(images, qpd6: int, batch: int = 8, timer=None,
     streams = [None] * len(images)
     recons = [None] * len(images)
 
+    mode = adapt_mode()
+
     def dispatch(idx):
         batch_imgs = [images[i] for i in idx]
         n_real = len(batch_imgs)
@@ -1266,9 +1268,12 @@ def encode_many_fast(images, qpd6: int, batch: int = 8, timer=None,
             msize = mesh.devices.size
             pad = (-n_real) % msize
             batch_imgs = batch_imgs + [batch_imgs[-1]] * pad
+        # 'pre' adaptation: per-image prices predicted from content, set
+        # directly in the primary dispatch (no second pass)
+        pr = _predict_prices(batch_imgs, qpd6) if mode == "pre" else None
         with timer.phase("dispatch"):
             out, meta = _dispatch_batch(batch_imgs, qpd6, mesh, want_recon,
-                                        fetch_qc, rmd)
+                                        fetch_qc, rmd, prices=pr)
         return out, meta, idx, n_real
 
     def place(p_idx, n_real, s, r):
@@ -1305,10 +1310,14 @@ def encode_many_fast(images, qpd6: int, batch: int = 8, timer=None,
     AHEAD = 4
     from collections import deque
     inflight = deque()
-    # adaptation re-dispatches through the unsharded pass-1 programs; the
-    # mesh path (CI/dryrun) stays single-pass
-    adapt = adapt_enabled() and mesh is None
-    pack_stats = {}                  # image index -> (bits, nctx, nbyp, rcon)
+    # 'post' adaptation re-dispatches through the unsharded pass-1
+    # programs; the mesh path (CI/dryrun) stays single-pass
+    adapt = mode == "post" and mesh is None
+
+    def sse_of(img, rcon):
+        h, w = img.shape
+        d = img.astype(np.int64) - rcon[:h, :w].astype(np.int64)
+        return int((d * d).sum())
 
     def enqueue(item):
         try:
@@ -1317,15 +1326,58 @@ def encode_many_fast(images, qpd6: int, batch: int = 8, timer=None,
             pass
         inflight.append(item)
 
+    def flag_and_redispatch(p_idx, n_real, st):
+        """Corrective pass, PIPELINED (round-5: a single post-drain
+        corrective batch serialized a full exposed device slice per call —
+        bench 8.4 -> 3.0 MP/s — so corrections dispatch as soon as their
+        source batch's realized stats exist and ride the same in-flight
+        queue, overlapping the remaining drains)."""
+        flags = []                   # (image index, sse1, (ctx, sig))
+        for j, i in enumerate(p_idx[:n_real]):
+            bits, nctx, nbyp, r1 = st[j]
+            corr = _adapt_rule(bits, nctx, nbyp, int(images[i].size), qpd6)
+            if corr is not None:
+                flags.append((i, sse_of(images[i], r1), corr))
+        if not flags:
+            return
+        # pad with the last flagged image up to the SOURCE batch's size so
+        # the pass-1 compiled program is reused (no new compile)
+        pad = [f[0] for f in flags] + [flags[-1][0]] * (n_real - len(flags))
+        pad = pad[:n_real]
+        prices = (np.array([flags[min(k, len(flags) - 1)][2][0]
+                            for k in range(len(pad))], np.int32),
+                  np.array([flags[min(k, len(flags) - 1)][2][1]
+                            for k in range(len(pad))], np.int32))
+        with timer.phase("dispatch"):
+            out, meta = _dispatch_batch([images[i] for i in pad], qpd6,
+                                        None, False, fetch_qc, rmd,
+                                        prices=prices)
+        enqueue((out, meta, pad, len(flags), flags))
+
     def drain_one():
-        out, meta, p_idx, n_real = inflight.popleft()
+        item = inflight.popleft()
+        if len(item) == 4:           # primary batch
+            out, meta, p_idx, n_real = item
+            rec = _fetch_lean(out, meta, timer)
+            st = [] if adapt else None
+            s, r = _pack_lean(rec, meta, want_recon, timer, stats_out=st)
+            place(p_idx, n_real, s, r)
+            if adapt:
+                flag_and_redispatch(p_idx, n_real, st)
+            return
+        out, meta, pad, n_flag, flags = item        # corrective batch
         rec = _fetch_lean(out, meta, timer)
-        st = [] if adapt else None
-        s, r = _pack_lean(rec, meta, want_recon, timer, stats_out=st)
-        place(p_idx, n_real, s, r)
-        if adapt:
-            for j, i in enumerate(p_idx[:n_real]):
-                pack_stats[i] = st[j]
+        st2 = []
+        s2, _ = _pack_lean(rec, meta, False, timer, stats_out=st2)
+        for j, (i, sse1, _corr) in enumerate(flags):
+            sse2 = sse_of(images[i], st2[j][3])
+            dbits = (len(s2[j]) - len(streams[i])) * 8
+            allow = int(ADAPT_BPP_ALLOW * images[i].size)
+            if (sse2 < sse1 and dbits <= allow) or \
+                    (sse2 <= sse1 and dbits < 0):
+                streams[i] = s2[j]
+                if want_recon:
+                    recons[i] = st2[j][3]
 
     for idx in batches:
         if len(inflight) >= AHEAD:
@@ -1333,17 +1385,60 @@ def encode_many_fast(images, qpd6: int, batch: int = 8, timer=None,
         enqueue(dispatch(idx))
     while inflight:
         drain_one()
-
-    if adapt:
-        _adaptive_second_pass(images, qpd6, batch, streams, recons,
-                              pack_stats, want_recon, fetch_qc, rmd, timer)
     return streams, recons
 
 
-def adapt_enabled() -> bool:
-    """Adaptive per-image rate-price correction (VERDICT r4 item 3) ships ON
-    for encode_many_fast's lean path; HEVCE_ADAPT=0 disables."""
-    return os.environ.get("HEVCE_ADAPT", "1") != "0"
+def adapt_mode() -> str:
+    """Adaptive per-image rate-price correction mode (VERDICT r4 item 3):
+      'pre'  (default) — predict rate density from image gradients BEFORE
+             encoding and set per-image prices in the primary dispatch:
+             zero extra device/host work (the measured-bpp two-pass cost a
+             full extra device slice per flagged shape batch — bench
+             8.4 -> 3.6 MP/s even pipelined);
+      'post' — measured-bpp two-pass with the SSE keep-policy (slower,
+             but self-verifying: corrections only ever improve);
+      '0'    — off."""
+    v = os.environ.get("HEVCE_ADAPT", "pre").strip().lower()
+    if v in ("1", "on", "pre", ""):
+        return "pre"
+    if v == "post":
+        return "post"
+    return "0"
+
+
+# pre-pass predictor (calibrated on Kodak-24 @ qpd6=2): mean |horizontal| +
+# |vertical| pixel gradient ranks the rate-density tail cleanly — grad >= 25
+# captures exactly the >=3.04-bpp outliers (13: 34.0, 08: 30.6, 01: 25.6,
+# 05: 25.2; next is 18 at 19.9) with no false positives, and the resulting
+# prices match the measured-bpp rule on the worst image (0.60*25/34 = 0.44
+# vs 0.439 from 4.07 bpp). Gradient is a pure content measure, so the
+# trigger is qpd6-independent; qpd6=0 is excluded (the fast mode is not
+# servable there at any price — ROADMAP round 5).
+ADAPT_GRAD_TRIGGER = 25.0
+
+
+def _grad_energy(img) -> float:
+    im = img.astype(np.int32)
+    return float(np.abs(np.diff(im, axis=1)).mean()
+                 + np.abs(np.diff(im, axis=0)).mean())
+
+
+def _predict_prices(imgs, qpd6: int):
+    """per-image (ctx, sig) price arrays for one batch, or None if every
+    image is below the trigger (the constant-knob fast path)."""
+    if qpd6 == 0:
+        return None
+    cv = np.full(len(imgs), CTX_BIT, np.int32)
+    hit = False
+    for k, im in enumerate(imgs):
+        g = _grad_energy(im)
+        if g >= ADAPT_GRAD_TRIGGER:
+            ctx = int(ADAPT_PRICE_AT_TRIGGER * ADAPT_GRAD_TRIGGER / g)
+            cv[k] = max(ADAPT_FLOOR, min(ctx, CTX_BIT))
+            hit = True
+    if not hit:
+        return None
+    return cv, np.full(len(imgs), SIG_ZERO, np.int32)
 
 
 # Adaptive-price rule (calibrated on Kodak-24, ROADMAP round 5): the
@@ -1359,7 +1454,11 @@ def adapt_enabled() -> bool:
 # keep rule makes the pass strictly non-worsening in reference RD terms.
 # Sweep evidence: image 13 (4.07 bpp) improves -0.353 -> -0.268 dB at
 # price ~0.45; gains flatten below that (0.50 -> -0.273, 0.55 -> -0.287).
-ADAPT_BPP_TRIGGER = 3.0    # re-encode when packed bits/pixel exceeds this
+# per-qpd6 bpp triggers = 1.25 x the Kodak-24 exact-stream median bpp at
+# that qpd6 (measured: 4.71 / 2.40 / 0.79 at qpd6 0/2/4; qpd6 1/3
+# geometrically interpolated). Rate density is qpd6-relative — a 3.0-bpp
+# stream is an outlier at qpd6=2 but below the median at qpd6=0.
+ADAPT_BPP_TRIGGER = {0: 5.9, 1: 4.2, 2: 3.0, 3: 1.7, 4: 1.0}
 ADAPT_PRICE_AT_TRIGGER = 0.60 * BIT   # price (<<15) at the trigger bpp
 ADAPT_FLOOR = int(0.40 * BIT)         # price floor (sweep: gains flatten)
 # keep policy: the corrected pass is kept only if SSE strictly improves AND
@@ -1371,75 +1470,22 @@ ADAPT_FLOOR = int(0.40 * BIT)         # price floor (sweep: gains flatten)
 ADAPT_BPP_ALLOW = 0.02
 
 
-def _adapt_rule(bits: int, nctx: int, nbyp: int, npix: int):
-    """(realized pack stats, pixel count) -> corrected (ctx, sig) prices
-    or None."""
+def _adapt_rule(bits: int, nctx: int, nbyp: int, npix: int, qpd6: int = 2):
+    """(realized pack stats, pixel count, qpd6) -> corrected (ctx, sig)
+    prices or None."""
     if npix <= 0 or bits <= 0:
         return None
+    trigger = ADAPT_BPP_TRIGGER[qpd6]
     bpp = bits / npix
-    if bpp < ADAPT_BPP_TRIGGER:
+    if bpp < trigger:
         return None
-    ctx = int(ADAPT_PRICE_AT_TRIGGER * ADAPT_BPP_TRIGGER / bpp)
+    ctx = int(ADAPT_PRICE_AT_TRIGGER * trigger / bpp)
     ctx = max(ADAPT_FLOOR, min(ctx, CTX_BIT))
     # SIG_ZERO stays UNSCALED: the image-13 A/B measured sig-default
     # strictly better than proportionally-scaled sig (47.382 vs 47.366 dB
     # at +124 B) — the pre-last-zero charge already prices a different
     # phenomenon than the context-bin average
     return ctx, SIG_ZERO
-
-
-def _adaptive_second_pass(images, qpd6, batch, streams, recons, pack_stats,
-                          want_recon, fetch_qc, rmd, timer):
-    """Re-encode rate-dense images once at a bpp-scaled context-bin price
-    and keep the corrected stream only when SSE strictly improves within
-    the ADAPT_BPP_ALLOW rate budget (both passes' SSE/bits are known
-    exactly on host, so the swap is deterministic and bounded).
-    Re-dispatches ride the pass-1 compiled programs: prices are program
-    INPUTS, and flagged groups are padded to a pass-1 batch size."""
-    flagged = {}
-    for i, (bits, nctx, nbyp, r1) in pack_stats.items():
-        corr = _adapt_rule(bits, nctx, nbyp, int(images[i].size))
-        if corr is not None:
-            flagged[i] = corr
-    if not flagged:
-        return
-
-    def sse_of(img, rcon):
-        h, w = img.shape
-        d = img.astype(np.int64) - rcon[:h, :w].astype(np.int64)
-        return int((d * d).sum())
-
-    groups = {}
-    for i in flagged:
-        groups.setdefault(images[i].shape, []).append(i)
-    all_sizes = {}                   # shape -> pass-1 first-chunk size
-    for i, im in enumerate(images):
-        sh = im.shape
-        all_sizes[sh] = all_sizes.get(sh, 0) + 1
-    for shape, idx in groups.items():
-        size = min(batch, all_sizes[shape])      # a pass-1-compiled B
-        for k in range(0, len(idx), size):
-            chunk = idx[k:k + size]
-            pad = chunk + [chunk[-1]] * (size - len(chunk))
-            cv = np.array([flagged[i][0] for i in pad], np.int32)
-            sv = np.array([flagged[i][1] for i in pad], np.int32)
-            with timer.phase("dispatch"):
-                out, meta = _dispatch_batch(
-                    [images[i] for i in pad], qpd6, None, False, fetch_qc,
-                    rmd, prices=(cv, sv))
-            rec = _fetch_lean(out, meta, timer)
-            st2 = []
-            s2, _ = _pack_lean(rec, meta, False, timer, stats_out=st2)
-            for j, i in enumerate(chunk):
-                sse1 = sse_of(images[i], pack_stats[i][3])
-                sse2 = sse_of(images[i], st2[j][3])
-                dbits = (len(s2[j]) - len(streams[i])) * 8
-                allow = int(ADAPT_BPP_ALLOW * images[i].size)
-                if (sse2 < sse1 and dbits <= allow) or \
-                        (sse2 <= sse1 and dbits < 0):
-                    streams[i] = s2[j]
-                    if want_recon:
-                        recons[i] = st2[j][3]
 
 
 def encode_image_fast(img, qpd6: int):

@@ -65,14 +65,30 @@ def test_adaptive_pass_keep_policy(crop, monkeypatch):
     # baseline: adaptation off
     monkeypatch.setenv("HEVCE_ADAPT", "0")
     s0, r0 = wf.encode_many_fast([crop], 2, batch=1)
-    # force every image to re-pass at the floor price
-    monkeypatch.setenv("HEVCE_ADAPT", "1")
-    monkeypatch.setattr(wf, "ADAPT_BPP_TRIGGER", 0.0)
+    # force every image to re-pass at the floor price (measured-bpp mode)
+    monkeypatch.setenv("HEVCE_ADAPT", "post")
+    monkeypatch.setattr(wf, "ADAPT_BPP_TRIGGER", {q: 0.0 for q in range(5)})
     s1, r1 = wf.encode_many_fast([crop], 2, batch=1)
     assert sse(crop, r1[0]) <= sse(crop, r0[0])
     assert (len(s1[0]) - len(s0[0])) * 8 <= int(
         wf.ADAPT_BPP_ALLOW * crop.size)
     assert np.array_equal(native.decode_stream(s1[0]), r1[0])
+
+
+def test_pre_predictor_prices(crop, monkeypatch):
+    """'pre' mode: a forced low trigger prices every image below CTX_BIT in
+    the PRIMARY dispatch (no second pass), and the stream stays valid."""
+    monkeypatch.setenv("HEVCE_ADAPT", "pre")
+    monkeypatch.setattr(wf, "ADAPT_GRAD_TRIGGER", 0.01)
+    pr = wf._predict_prices([crop], 2)
+    assert pr is not None and pr[0][0] < wf.CTX_BIT
+    s, r = wf.encode_many_fast([crop], 2, batch=1)
+    assert np.array_equal(native.decode_stream(s[0]), r[0])
+    # qpd6=0 is excluded (fast mode not servable there at any price)
+    assert wf._predict_prices([crop], 0) is None
+    # below-trigger images take the constant-knob fast path
+    monkeypatch.setattr(wf, "ADAPT_GRAD_TRIGGER", 1e9)
+    assert wf._predict_prices([crop], 2) is None
 
 
 def test_adapt_rule_shape():
@@ -81,8 +97,8 @@ def test_adapt_rule_shape():
     npix = 1000
     assert wf._adapt_rule(0, 0, 0, 0) is None
     assert wf._adapt_rule(int(2.0 * npix), 1, 0, npix) is None   # 2.0 bpp
-    ctx3, _ = wf._adapt_rule(int(3.0 * npix), 1, 0, npix)
-    ctx4, sig4 = wf._adapt_rule(int(4.0 * npix), 1, 0, npix)
+    ctx3, _ = wf._adapt_rule(int(3.0 * npix), 1, 0, npix, 2)
+    ctx4, sig4 = wf._adapt_rule(int(4.0 * npix), 1, 0, npix, 2)
     assert ctx3 == int(wf.ADAPT_PRICE_AT_TRIGGER)
     assert wf.ADAPT_FLOOR <= ctx4 < ctx3 and sig4 >= 1
     # absurd rates floor out
