@@ -69,7 +69,11 @@ def test_fast_mode_mesh_sharded_matches_unsharded():
         np.testing.assert_array_equal(decode_stream(s), r)
 
 
-def test_encode_many_fast_pipelined_matches_batches():
+def test_encode_many_fast_pipelined_matches_batches(monkeypatch):
+    # pin adaptation off: encode_many_fast's default 'pre' mode applies
+    # per-image predicted prices, while the per-image encode_batch_fast
+    # comparison basis is the constant-knob single pass
+    monkeypatch.setenv("HEVCE_ADAPT", "0")
     from hevce_tpu.models.wavefront import encode_many_fast
     rng = np.random.default_rng(13)
     shapes = [(64, 64), (64, 96), (64, 64), (64, 64), (64, 96)]
@@ -305,8 +309,11 @@ def test_lastxy_rate_oracle():
     for sz in (4, 8):
         q = np.where(rng.random((20, 35, sz, sz)) < 0.06,
                      rng.integers(-5, 6, (20, 35, sz, sz)), 0).astype(np.int32)
-        got = np.asarray(wf._lastxy_rate(sz, jnp.asarray(q)))
-        inv, tbl, stm = wf._scan_consts(sz, wf.CTX_BIT)
+        cv = jnp.full((20,), wf.CTX_BIT, jnp.int32)
+        sv = jnp.full((20,), wf.SIG_ZERO, jnp.int32)
+        got = np.asarray(wf._lastxy_rate(sz, jnp.asarray(q), cv, sv))
+        inv, cnt, byp, stm = wf._scan_consts(sz)
+        tbl = cnt * wf.CTX_BIT + byp
         exp = np.zeros((20, 35), np.int64)
         for b in range(20):
             for m in range(35):
