@@ -237,8 +237,13 @@ def _lastxy_rate(sz: int, q, ctxv, sigv, stv=None):
         # (the level-rate table covers only nonzeros), priced at sigv
         zb = il + 1 - nnz
         oh = (invv == il[..., None]).astype(jnp.int32)
-        rate = ((oh * jnp.asarray(cnt[st])).sum(-1) * cv
-                + (oh * jnp.asarray(byp[st])).sum(-1) + zb * sv)
+        # ONE one-hot sum: the per-position (ctx count, bypass rate) pair
+        # packs into a single int32 constant (byp_sum < 2^19 <<15-bits in
+        # bits 0..19, cnt <= 20 in bits 20+), unpacked after the select —
+        # the two-sum form doubled the stage's VPU work (ROADMAP round 5)
+        packed = jnp.asarray(byp[st] + (cnt[st] << 20))
+        sel = (oh * packed).sum(-1)
+        rate = ((sel >> 20) * cv + (sel & ((1 << 20) - 1)) + zb * sv)
         if nn > 16:
             # CG refinement (reference put_coef sig_cg flags,
             # src/HEVCe.c:1199-1212): a MIDDLE coefficient group (strictly
