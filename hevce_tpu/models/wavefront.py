@@ -101,6 +101,19 @@ def _env_bits(name: str, default: int) -> int:
 CTX_BIT = _env_bits("HEVCE_CTX_BIT", 24576)   # 0.75 bit per context bin
 SIG_ZERO = _env_bits("HEVCE_SIG_ZERO", 9830)  # 0.30 bit per pre-last zero
 CG_BIN = CTX_BIT              # sig_cg flag of a middle coefficient group
+
+
+def _ctx_default(qpd6: int) -> int:
+    """Per-qpd6 default context-bin price. qpd6=1 measured wanting a
+    cheaper price than the qpd6=2-tuned 0.75: full-24 Kodak at a global
+    0.60 improves mean dPSNR −0.371 → −0.273 at ×1.0006 → ×1.0060 size
+    (ROADMAP round 5; the rate-density degradation is monotone in
+    quantization fineness, and q1's median bpp ≈ 3.5 sits in the regime
+    the q2 sweep priced at 0.60). An explicit HEVCE_CTX_BIT overrides
+    every level (the knob's documented semantic)."""
+    if os.environ.get("HEVCE_CTX_BIT", "").strip():
+        return CTX_BIT
+    return int(0.60 * BIT) if qpd6 == 1 else CTX_BIT
 HALF = 1 << 14                # fixed->integer-bit rounding
 # per-layout header context-bin counts: a non-split CU writes split_cu
 # (sz>=16) or part_size (sz==8) [1] + UV pmode [1] + 2x UV cbf [2] +
@@ -1072,7 +1085,7 @@ def _dispatch_batch(images, qpd6: int, mesh=None, want_recon=True,
     O = jnp.asarray(_orig_tiles_raster(images, yp, xp))
     B = len(images)
     if prices is None:
-        cv = np.full(B, CTX_BIT, np.int32)
+        cv = np.full(B, _ctx_default(qpd6), np.int32)
         sv = np.full(B, SIG_ZERO, np.int32)
     else:
         cv = np.asarray(prices[0], np.int32).reshape(B)
@@ -1433,13 +1446,14 @@ def _predict_prices(imgs, qpd6: int):
     image is below the trigger (the constant-knob fast path)."""
     if qpd6 == 0:
         return None
-    cv = np.full(len(imgs), CTX_BIT, np.int32)
+    base = _ctx_default(qpd6)
+    cv = np.full(len(imgs), base, np.int32)
     hit = False
     for k, im in enumerate(imgs):
         g = _grad_energy(im)
         if g >= ADAPT_GRAD_TRIGGER:
             ctx = int(ADAPT_PRICE_AT_TRIGGER * ADAPT_GRAD_TRIGGER / g)
-            cv[k] = max(ADAPT_FLOOR, min(ctx, CTX_BIT))
+            cv[k] = max(ADAPT_FLOOR, min(ctx, base))
             hit = True
     if not hit:
         return None
@@ -1485,7 +1499,7 @@ def _adapt_rule(bits: int, nctx: int, nbyp: int, npix: int, qpd6: int = 2):
     if bpp < trigger:
         return None
     ctx = int(ADAPT_PRICE_AT_TRIGGER * trigger / bpp)
-    ctx = max(ADAPT_FLOOR, min(ctx, CTX_BIT))
+    ctx = max(ADAPT_FLOOR, min(ctx, _ctx_default(qpd6)))
     # SIG_ZERO stays UNSCALED: the image-13 A/B measured sig-default
     # strictly better than proportionally-scaled sig (47.382 vs 47.366 dB
     # at +124 B) — the pre-last-zero charge already prices a different
